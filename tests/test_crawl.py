@@ -1,0 +1,191 @@
+"""End-to-end crawl semantics on the reference-derived fixtures.
+
+Encodes the reference's intended invariants, including those from its
+*disabled* tests (SURVEY.md §5): no-requeue (lib/job_test.go:21-53),
+no-crawl mode (lib/job_test.go:55-88), redirect chains + cap
+(lib/worker_test.go:3-79).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from walk_spark.config import CrawlConfig
+from walk_spark.plans.crawl import crawl
+from walk_spark.sources.pages import (
+    redirect_chain_pages, self_linking_pages, tree_site_pages, two_page_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def self_linking_result(spark):
+    cfg = CrawlConfig(
+        seeds=["http://self.test"], domains=["http://self.test"]
+    )
+    return crawl(spark, self_linking_pages(spark), cfg)
+
+
+def test_self_linking_visits_each_url_once(self_linking_result):
+    r = self_linking_result
+    # no-requeue invariant: 4 urls, each fetched exactly once
+    order = [(x["superstep"], x["url"]) for x in r.order.orderBy(
+        "superstep", "discovery_seq", "url").collect()]
+    assert order == [
+        (1, "http://self.test"),
+        (2, "http://self.test/a.html"),
+        (2, "http://self.test/b.html"),
+        (2, "http://self.test/c.html"),
+    ]
+    assert r.frontier.count() == 4
+    assert r.frontier.filter(F.col("status") == "done").count() == 4
+
+
+def test_self_linking_resources(self_linking_result):
+    r = self_linking_result
+    ok = r.ok_resources()
+    assert ok.count() == 4
+    row = ok.filter(F.col("url") == "http://self.test").first()
+    assert row["title"] == "Self-Linking Test"
+    assert row["links"] == [
+        "http://self.test",
+        "http://self.test/a.html",
+        "http://self.test/b.html",
+        "http://self.test/c.html",
+    ]
+    assert row["hash"].startswith("Qm")
+
+
+def test_extracted_text_byte_identical(spark, self_linking_result):
+    """The per-url invariant: extracted text == the pages table's text column."""
+    pages = self_linking_pages(spark).select(
+        F.col("text").alias("expected"), "url"
+    )
+    got = self_linking_result.ok_resources().select("url", "text").join(
+        pages.withColumn("url", F.regexp_replace("url", "/$", "")), "url"
+    )
+    bad = got.filter(F.col("text") != F.col("expected"))
+    assert bad.count() == 0
+    assert got.count() == 4
+
+
+def test_no_crawl_mode(spark):
+    # crawl=false fetches only seeds (lib/job_test.go:55-88 intent)
+    cfg = CrawlConfig(
+        seeds=["http://self.test"], domains=["http://self.test"], crawl=False
+    )
+    r = crawl(spark, self_linking_pages(spark), cfg)
+    assert r.frontier.count() == 1
+    assert r.ok_resources().count() == 1
+
+
+def test_two_page_retry_and_dedup(spark):
+    """two_page: /b is absent from the corpus -> fetch-error path retried
+    MaxAttempts times then failed (lib/coordinator.go:381-384); the raw seed
+    and its normalized twin are BOTH fetched (exact-string dedup parity,
+    lib/coordinator.go:174-178 vs lib/resource.go:177)."""
+    cfg = CrawlConfig(seeds=["https://www.a.com"], domains=["https://www.a.com"])
+    r = crawl(spark, two_page_pages(spark), cfg)
+    by_url = {x["url"]: x for x in r.frontier.collect()}
+    assert by_url["https://www.a.com"]["status"] == "done"
+    assert by_url["http://a.com/a"]["status"] == "done"
+    # normalized twin of the seed discovered via /a's backlink
+    assert by_url["http://a.com"]["status"] == "done"
+    assert by_url["http://a.com/b"]["status"] == "failed"
+    # MaxAttempts=3 -> 4 fetch attempts (attempts<=max requeues)
+    assert by_url["http://a.com/b"]["attempts"] == 4
+    errs = r.resources.filter(F.col("error").isNotNull())
+    assert errs.count() == 4
+
+
+def test_ignore_patterns(spark):
+    cfg = CrawlConfig(
+        seeds=["http://self.test"],
+        domains=["http://self.test"],
+        ignore_patterns=["b.html"],
+    )
+    r = crawl(spark, self_linking_pages(spark), cfg)
+    urls = {x["url"] for x in r.frontier.collect()}
+    assert "http://self.test/b.html" not in urls
+    assert len(urls) == 3
+
+
+def test_stop_after_entries(spark):
+    cfg = CrawlConfig(
+        seeds=["http://self.test"], domains=["http://self.test"],
+        stop_after_entries=1,
+    )
+    r = crawl(spark, self_linking_pages(spark), cfg)
+    # halts after the superstep that completed 1 entry
+    assert r.metrics[-1]["superstep"] == 1
+    assert r.frontier.filter(F.col("status") == "done").count() == 1
+
+
+def test_stop_url(spark):
+    cfg = CrawlConfig(
+        seeds=["http://self.test"], domains=["http://self.test"],
+        stop_url="http://self.test",
+    )
+    r = crawl(spark, self_linking_pages(spark), cfg)
+    assert r.metrics[-1]["superstep"] == 1
+
+
+def test_redirect_chain_and_cap(spark):
+    cfg = CrawlConfig(
+        seeds=["http://redir.test/r0", "http://redir.test/l0"],
+        domains=["http://redir.test"],
+        record_redirects=True,
+    )
+    r = crawl(spark, redirect_chain_pages(spark), cfg)
+    by_url = {x["url"]: x for x in r.frontier.collect()}
+    # 5-hop chain lands on /final which is recorded done
+    assert by_url["http://redir.test/r0"]["status"] == "redirected"
+    assert by_url["http://redir.test/final"]["status"] == "done"
+    # 12-hop chain exceeds the cap of 10 -> error path -> retries -> failed
+    assert by_url["http://redir.test/l0"]["status"] == "failed"
+    assert "http://redir.test/never" not in by_url
+    # hop rows recorded with normalized redirect edges (F6)
+    hops = r.resources.filter(F.col("redirect_to").isNotNull())
+    first = hops.filter(
+        (F.col("url") == "http://redir.test/r0") & (F.col("superstep") == 1)
+    ).first()
+    assert first["redirect_to"] == "http://redir.test/r1"
+    # terminal resource relabeled to the normalized final url (F7)
+    finals = r.ok_resources().filter(F.col("url") == "http://redir.test/final")
+    assert finals.count() == 1
+
+
+def test_tree_site_full_coverage(spark):
+    cfg = CrawlConfig(seeds=["http://qri.test/"], domains=["http://qri.test"])
+    pages = tree_site_pages(spark)
+    r = crawl(spark, pages, cfg)
+    done = r.frontier.filter(F.col("status") == "done")
+    # all pages reachable; css fetched via <link href>; mailto/data rejected
+    urls = {x["url"] for x in done.collect()}
+    assert "http://qri.test/css/site.css" in urls
+    assert "http://qri.test/feed.xml" in urls
+    assert not any(u.startswith("mailto:") or u.startswith("data:") for u in urls)
+    # non-HTML pages yield no links (sniff gate P4)
+    css = r.ok_resources().filter(
+        F.col("url") == "http://qri.test/css/site.css"
+    ).first()
+    assert css["links"] == []
+    # every reachable page got fetched exactly once (no-requeue)
+    assert r.order.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_politeness_budget_same_visit_set(spark):
+    """Budgeted crawl visits the same set, spread over more supersteps."""
+    base = CrawlConfig(seeds=["http://qri.test/"], domains=["http://qri.test"])
+    budget = CrawlConfig(
+        seeds=["http://qri.test/"], domains=["http://qri.test"],
+        host_budget_per_superstep=3,
+    )
+    pages = tree_site_pages(spark)
+    r1 = crawl(spark, pages, base)
+    r2 = crawl(spark, pages, budget)
+    s1 = {x["url"] for x in r1.frontier.collect()}
+    s2 = {x["url"] for x in r2.frontier.collect()}
+    assert s1 == s2
+    assert len(r2.metrics) > len(r1.metrics)
+    # budget respected per superstep
+    per = r2.order.groupBy("superstep").count().collect()
+    assert all(x["count"] <= 3 for x in per)

@@ -1,0 +1,78 @@
+"""Crawl job configuration.
+
+Mirrors the reference's JSON job config (lib/config.go:88-127 JobConfig,
+lib/config.go:166-178 WorkerConfig) as a plain dataclass. Defaults follow
+lib/config.go:129-154 DefaultJobConfig.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class CrawlConfig:
+    """Configuration for one crawl job.
+
+    Field provenance (reference file:line):
+      seeds               lib/config.go:92    (Seeds)
+      crawl               lib/config.go:95-97 (Crawl — gate link expansion)
+      domains             lib/config.go:98-100 (Domains — candidate filter)
+      ignore_patterns     lib/config.go:101-103 (IgnorePatterns substrings)
+      delay_milli         lib/config.go:106   (DelayMilli politeness delay)
+      stop_after_entries  lib/config.go:107-109
+      stop_url            lib/config.go:110-111
+      backoff_codes       lib/config.go:112-115 (BackoffResponseCodes)
+      max_attempts        lib/config.go:116-117 (default 3, :139)
+      record_redirects    lib/config.go:175-176 (WorkerConfig.RecordRedirects)
+      record_headers      lib/config.go:173-174
+      polite              lib/config.go:171-172
+      user_agent          lib/config.go:177
+    Spark-side additions (no reference equivalent — scale machinery):
+      host_budget_per_superstep  per-host fetch cap per superstep; the BSP
+          re-expression of fetchbot's CrawlDelay (lib/worker.go:81-83): with a
+          superstep modeling `round_seconds` of wall clock, budget ≈
+          round_seconds*1000/delay_milli.
+      max_batch_size     global cap on urls fetched per superstep (backpressure,
+          replaces the 150-deep queue channel lib/queue.go:33)
+      seen_partitions    number of salted-host hash partitions of the seen set
+      hot_host_threshold hosts with more queued urls than this get url-salted
+      use_bloom          maintain per-partition bloom prefilters for the
+          seen anti-join (scale path; exact anti-join always confirms)
+      max_redirects      redirect chain cap (lib/worker.go:222-224 — 10)
+    """
+
+    seeds: list[str] = field(default_factory=list)
+    crawl: bool = True
+    domains: list[str] = field(default_factory=list)
+    ignore_patterns: list[str] = field(default_factory=list)
+    delay_milli: int = 500
+    stop_after_entries: int = 0  # 0 = unlimited
+    stop_url: str = ""
+    backoff_codes: list[int] = field(default_factory=lambda: [403, 429])
+    max_attempts: int = 3
+    record_redirects: bool = True
+    record_headers: bool = False
+    polite: bool = True
+    user_agent: str = "walk_spark/0.1"
+    job_id: str = "1"
+
+    # Spark scale machinery
+    host_budget_per_superstep: int = 0  # 0 = unlimited (politeness off)
+    max_batch_size: int = 0  # 0 = unlimited
+    seen_partitions: int = 8
+    hot_host_threshold: int = 100_000
+    use_bloom: bool = False
+    bloom_expected_items: int = 1_000_000
+    bloom_num_bits: int = 8_388_608
+    max_redirects: int = 10
+    max_supersteps: int = 1000
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "CrawlConfig":
+        d = json.loads(s)
+        return cls(**{k: v for k, v in d.items() if k in cls.__dataclass_fields__})

@@ -1,0 +1,136 @@
+"""Vectorized page extraction — html binary -> (title, links, text, sniff, hash).
+
+The Spark re-expression of the reference's response handling
+(``Resource.HandleResponse`` lib/resource.go:90-134 + ``ExtractDocLinks``
+lib/resource.go:161-189): one Arrow-batched pandas UDF produces all derived
+columns in a single pass over the ``html`` column, so the binary bytes cross
+the JVM<->Python boundary exactly once and are never shuffled.
+
+Link semantics (from reference behavior):
+- ALL elements carrying an ``href`` attribute are link sources — including
+  ``<link rel=stylesheet>`` / RSS / favicons, not just ``<a>``
+  (lib/resource.go:168 ``doc.Find("[href]")``; verified against the vendored
+  qri.io fixture site).
+- hrefs are resolved against the page URL and canonicalized
+  (lib/resource.go:171-177 -> urlnorm.resolve_and_normalize).
+- per-page dedup preserves FIRST-SEEN document order (lib/resource.go:178-184).
+- Only bodies sniffed as html/plain text are parsed (lib/resource.go:117-131).
+
+Text extraction contract (the byte-identical per-url invariant): UTF-8 decode
+(replacement on error), concatenate stripped text nodes outside
+script/style/head in document order, joined by a single space.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, StringType, StructField, StructType,
+)
+
+from walk_spark.functions.hashing import multihash_sha256_b58
+from walk_spark.functions.sniff import HTML_PARSEABLE, detect_content_type
+from walk_spark.functions.urlnorm import resolve_and_normalize
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("text", StringType()),
+        StructField("content_sniff", StringType()),
+        StructField("hash", StringType()),
+    ]
+)
+
+_SKIP_TEXT_TAGS = frozenset({"script", "style", "head", "title"})
+
+
+class _PageParser(HTMLParser):
+    """Single-pass collector of hrefs (document order), title, body text."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+        self.title_parts: list[str] = []
+        self.text_parts: list[str] = []
+        self._in_title = False
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        for k, v in attrs:
+            if k == "href" and v is not None:
+                self.hrefs.append(v)
+        if tag == "title":
+            self._in_title = True
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        for k, v in attrs:
+            if k == "href" and v is not None:
+                self.hrefs.append(v)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+        if tag in ("script", "style") and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self.title_parts.append(data)
+        elif self._skip_depth == 0:
+            s = data.strip()
+            if s:
+                self.text_parts.append(s)
+
+
+def parse_page(url: str, body: bytes | None) -> tuple[str, list[str], str, str, str]:
+    """Extract (title, links, text, content_sniff, hash) from one page."""
+    sniff = detect_content_type(body)
+    chash = multihash_sha256_b58(body) if body is not None else ""
+    if body is None or sniff not in HTML_PARSEABLE:
+        return "", [], "", sniff, chash
+    html = bytes(body).decode("utf-8", errors="replace")
+    p = _PageParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    # resolve + normalize + first-seen-order dedup (lib/resource.go:171-184)
+    links: list[str] = []
+    seen: set[str] = set()
+    for href in p.hrefs:
+        n = resolve_and_normalize(url or "", href)
+        if n and n not in seen:
+            seen.add(n)
+            links.append(n)
+    title = "".join(p.title_parts).strip()
+    text = " ".join(p.text_parts)
+    return title, links, text, sniff, chash
+
+
+def _extract_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    rows = [parse_page(u, b) for u, b in zip(url, html)]
+    return pd.DataFrame(
+        rows, columns=["title", "links", "text", "content_sniff", "hash"]
+    )
+
+
+def extract_udf():
+    """Arrow-batched pandas UDF: (url string, html binary) -> EXTRACT_SCHEMA."""
+    return F.pandas_udf(_extract_batch, returnType=EXTRACT_SCHEMA)
+
+
+def with_extraction(df, url_col: str = "url", html_col: str = "html"):
+    """Append extraction columns to a pages DataFrame.
+
+    Produces flat columns title/links/text/content_sniff/hash. Column pruning
+    still applies to everything else; only (url, html) feed the UDF.
+    """
+    ex = extract_udf()(F.col(url_col), F.col(html_col)).alias("_ex")
+    return df.withColumn("_ex", ex).select("*", "_ex.*").drop("_ex")

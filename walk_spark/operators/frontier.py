@@ -1,0 +1,133 @@
+"""Frontier state: schemas, deterministic sequence assignment, salted
+host partitioning.
+
+The frontier DataFrame replaces the reference's ``RequestStore`` +
+``MemQueue`` pair (lib/request_store.go:18-163, lib/queue.go:22-72): one row
+per URL ever enqueued, carrying its request status — so the frontier IS the
+URL-seen set (a ``GetRequest(url) == nil`` check in the reference,
+lib/coordinator.go:301-309, becomes an anti-join against these rows).
+
+Dedup keys are EXACT url strings, replicating the reference's mixed
+raw-seed / normalized-link keying (seeds enqueued verbatim,
+lib/coordinator.go:174-178; links normalized, lib/resource.go:177).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+from pyspark.sql.window import Window
+
+#: request statuses — reference lib/request.go:21-36 (UNKNOWN/FETCH/QUEUED/
+#: REQUESTING/DONE/FAILED); BSP needs no REQUESTING; 'redirected' is our
+#: terminal state for a url whose fetch landed elsewhere (see plans.crawl).
+STATUS_QUEUED = "queued"
+STATUS_DONE = "done"
+STATUS_FAILED = "failed"
+STATUS_REDIRECTED = "redirected"
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),      # exact enqueued string
+        StructField("host", StringType(), True),      # canonical host
+        StructField("depth", IntegerType(), False),   # BFS depth
+        StructField("discovery_seq", LongType(), False),  # global determ. seq
+        StructField("status", StringType(), False),
+        StructField("attempts", IntegerType(), False),
+        StructField("prev_http_status", IntegerType(), True),
+        StructField("superstep", IntegerType(), False),  # enqueue superstep
+        StructField("part_id", IntegerType(), False),  # salted host partition
+        StructField("job_id", StringType(), False),
+    ]
+)
+
+#: canonical crawl order — (depth, discovery_seq, url); the deterministic
+#: replacement for the reference's racy Go-map iteration order
+#: (lib/coordinator.go:279-308; SURVEY.md D1 note).
+ORDER_COLS = ["depth", "discovery_seq", "url"]
+
+
+def canonical_host_col(url: Column) -> Column:
+    """JVM-side canonical host: parse_url HOST, lowercased, www-stripped."""
+    h = F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.coalesce(F.regexp_replace(h, r"^www\.", ""), F.lit(""))
+
+
+def part_id_col(host: Column, url: Column, num_partitions: int,
+                hot_hosts: DataFrame | None = None) -> Column:
+    """Salted-hash partition id for the seen set (north rule): hash the
+    canonical host so each host's urls co-locate (politeness + dedup both
+    group by host), except hot hosts, which are salted by full url so one
+    giant host cannot pin a partition. ``hot_hosts`` is a tiny broadcast
+    list; callers join it and pass its flag column instead when dynamic."""
+    return F.pmod(F.xxhash64(host), F.lit(num_partitions)).cast("int")
+
+
+def salted_part_id(df: DataFrame, num_partitions: int,
+                   hot_flag: str | None = None) -> DataFrame:
+    """Attach part_id; rows flagged hot are salted by url, not host."""
+    by_host = F.pmod(F.xxhash64(F.col("host")), F.lit(num_partitions))
+    by_url = F.pmod(F.xxhash64(F.col("url")), F.lit(num_partitions))
+    expr = (
+        F.when(F.col(hot_flag), by_url).otherwise(by_host)
+        if hot_flag else by_host
+    )
+    return df.withColumn("part_id", expr.cast("int"))
+
+
+def with_global_seq(
+    df: DataFrame,
+    sort_cols: list[str],
+    seq_col: str = "discovery_seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign a dense global sequence 0..n-1 in ``sort_cols`` order —
+    scalable two-phase ranking (NO single-partition window):
+
+      1. range-repartition by the sort key,
+      2. per-partition ``row_number`` (partition-local sort),
+      3. add per-partition offsets (a tiny P-row collect, broadcast back).
+
+    The result depends only on the global sort order, so it is byte-identical
+    across parallelism levels (the two-cluster-size determinism requirement,
+    SURVEY.md §4 item 4) as long as ``sort_cols`` are a unique key (callers
+    include ``url``).
+    """
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    cols = [F.col(c) for c in sort_cols]
+    d = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(seq_col, F.lit(start).cast("long"))
+    off_expr = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = (
+        d.withColumn(
+            seq_col,
+            (F.row_number().over(w) - 1 + off_expr[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+    out = out.localCheckpoint(eager=True)  # pin assignment, cut lineage
+    d.unpersist()
+    return out
+
+
+def empty_frontier(spark) -> DataFrame:
+    return spark.createDataFrame([], FRONTIER_SCHEMA)

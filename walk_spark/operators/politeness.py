@@ -1,0 +1,104 @@
+"""Per-host politeness scheduling + robots.txt gating (SURVEY.md F5).
+
+The reference delegates politeness to fetchbot: per-host goroutines insert
+``CrawlDelay`` between same-host requests and consult robots.txt when
+``Polite`` (lib/worker.go:79-90). In BSP, a superstep models a round of wall
+clock, so the continuous delay becomes a **per-host budget**: at most
+``budget ≈ round_seconds*1000/delay_milli`` urls of one host per superstep.
+Equivalence contract (SURVEY.md §7 risks): same visit SET and same BFS
+frontier per depth under the same budget — scheduling jitter is not
+replicated, the reference's own interleaving being racy.
+
+Two implementations:
+- ``pick_budget_window`` (default): skew-proof two-phase top-k — rank within
+  (host, salt) buckets first, then within host over the ≤ budget*S
+  survivors. A hot host with 10^8 queued urls never lands in one task.
+- ``pick_budget_pandas``: groupBy(host).applyInPandas round — the literal
+  north-rule shape, kept for parity testing and as the extension point for
+  richer per-host schedulers (adaptive backoff, crawl-delay carryover).
+
+Robots gating: a rules table (host, disallow_prefix) anti-joined against
+candidates before enqueue. Matches by canonical host + path prefix.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from walk_spark.operators.frontier import ORDER_COLS
+
+_SALTS = 16
+
+
+def pick_budget_window(queued: DataFrame, budget: int) -> DataFrame:
+    """Select ≤ budget urls per canonical host, in canonical crawl order."""
+    if budget <= 0:
+        return queued
+    order = [F.col(c) for c in ORDER_COLS]
+    salt = F.pmod(F.xxhash64("url"), F.lit(_SALTS))
+    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        queued.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= budget)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= budget)
+        .drop("_r1", "_r2")
+    )
+
+
+def pick_budget_pandas(queued: DataFrame, budget: int) -> DataFrame:
+    """applyInPandas variant: one scheduling round per host group."""
+    if budget <= 0:
+        return queued
+    schema = queued.schema
+
+    def _pick(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(ORDER_COLS).head(budget)
+
+    return queued.groupBy("host").applyInPandas(_pick, schema=schema)
+
+
+def cap_batch(batch: DataFrame, max_batch_size: int) -> DataFrame:
+    """Global backpressure (replaces the 150-deep queue chan,
+    lib/queue.go:33): keep the max_batch_size first urls in canonical order.
+    Same two-phase trick, bucketed by url hash, so no global sort."""
+    if max_batch_size <= 0:
+        return batch
+    order = [F.col(c) for c in ORDER_COLS]
+    salt = F.pmod(F.xxhash64("url"), F.lit(_SALTS))
+    w1 = Window.partitionBy(salt).orderBy(*order)
+    w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return (
+        batch.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= max_batch_size)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= max_batch_size)
+        .drop("_r1", "_r2")
+    )
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop candidates disallowed by (host, disallow_prefix) rules.
+
+    ``robots`` columns: host, user_agent, disallow_prefix (FIXTURES.md §3).
+    Broadcast non-equi prefix join (rules tables are small relative to the
+    frontier); '*' user_agent only at fixture scale.
+    """
+    if robots is None:
+        return candidates
+    rules = F.broadcast(
+        robots.select(
+            F.col("host").alias("_rhost"),
+            F.col("disallow_prefix").alias("_rpre"),
+        )
+    )
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+    hit = candidates.join(
+        rules,
+        (F.col("host") == F.col("_rhost")) & path.startswith(F.col("_rpre")),
+        "left_semi",
+    )
+    return candidates.join(hit.select("url"), "url", "left_anti")

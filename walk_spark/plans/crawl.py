@@ -1,0 +1,632 @@
+"""The crawl superstep loop — walk's coordinator re-expressed as BSP.
+
+Reference lifecycle (lib/coordinator.go, traced in SURVEY.md §3.1): a
+continuous goroutine pipeline (seeds chan -> queue chan -> fetchbot workers
+-> CompletedResources -> dedup -> enqueue) with done-detection by queue
+emptiness. Here each superstep is one deterministic vectorized round:
+
+  pick batch (politeness budgets, canonical FIFO order)      [F5, S11]
+  -> fetch join against the pages table (simulated GET)       [J4, S2]
+  -> follow redirect chains (≤ max_redirects iterative joins) [F6, F7]
+  -> extract title/links/text/sniff/hash (one Arrow UDF pass) [S3, P1-P6]
+  -> update request statuses: done / requeue / failed         [F2, F3, F8]
+  -> candidate filter + robots gating                         [P7]
+  -> within-batch dedup + seen anti-join (bloom prefilter)    [D1, D2]
+  -> assign deterministic discovery sequence, merge frontier  [D5, F1]
+  until no queued rows remain                                  [F9]
+
+Determinism: every ordering is (depth, discovery_seq, url); sequence
+assignment is the scalable two-phase rank of operators.frontier — byte
+identical crawl order across parallelism levels (local[8] == local[32]).
+
+State: frontier/resources/order DataFrames; between supersteps either
+``localCheckpoint`` (in-memory runs) or parquet-per-superstep + a manifest
+JSONL under ``workdir`` (durable; ``Crawler.resume`` restarts mid-crawl —
+SURVEY.md F17; at production scale these writes are Iceberg MERGE commits
+and the manifest records snapshot ids).
+
+Deliberate deviations from the reference (documented, not accidental):
+- redirect sources become terminal status 'redirected' instead of being
+  re-fetched until MaxAttempts (the reference re-enqueues any non-2xx/3xx
+  dequeue including redirect hops, lib/coordinator.go:381-384 — wasteful);
+- the resources output keeps error/redirect rows with an ``error`` column
+  (the reference drops URL-less error resources on the floor,
+  lib/coordinator.go:282-286); sinks filter to OK rows (handlers only ever
+  receive OK resources, lib/coordinator.go:368-377).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType, ArrayType,
+)
+
+from walk_spark.config import CrawlConfig
+from walk_spark.functions.extract import with_extraction
+from walk_spark.functions.urlnorm import (
+    canonical_host, normalize_url, normalize_url_series,
+)
+from walk_spark.operators import dedup as D
+from walk_spark.operators import politeness as P
+from walk_spark.operators.frontier import (
+    FRONTIER_SCHEMA, ORDER_COLS, STATUS_DONE, STATUS_FAILED, STATUS_QUEUED,
+    STATUS_REDIRECTED, with_global_seq,
+)
+
+RESOURCES_SCHEMA = StructType(
+    [
+        StructField("job_id", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("content_sniff", StringType()),
+        StructField("content_length", LongType()),
+        StructField("title", StringType()),
+        StructField("hash", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("text", StringType()),
+        StructField("redirect_to", StringType()),
+        StructField("redirect_from", StringType()),
+        StructField("error", StringType()),
+        StructField("superstep", IntegerType()),
+        StructField("depth", IntegerType()),
+    ]
+)
+
+ORDER_SCHEMA = StructType(
+    [
+        StructField("superstep", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("discovery_seq", LongType()),
+        StructField("url", StringType()),
+    ]
+)
+
+_norm_udf = F.pandas_udf(normalize_url_series, returnType=StringType())
+
+
+def _canonical_host_py(url: str) -> str:
+    return canonical_host(url)
+
+
+@dataclass
+class CrawlResult:
+    frontier: DataFrame
+    resources: DataFrame  # all fetch outcomes; filter ok() for sink parity
+    order: DataFrame      # canonical crawl order (superstep, depth, seq, url)
+    metrics: list = field(default_factory=list)
+
+    def ok_resources(self) -> DataFrame:
+        """What the reference's handlers receive (lib/coordinator.go:368-377):
+        OK-status (200..308, lib/job.go:273-275) non-redirect-hop rows."""
+        return self.resources.filter(
+            F.col("status").between(200, 308) & F.col("error").isNull()
+            & F.col("redirect_to").isNull()
+        )
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        cfg: CrawlConfig,
+        robots: DataFrame | None = None,
+        workdir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.robots = robots
+        self.workdir = workdir
+        self.pages = self._prep_pages(pages)
+        self._domains = [self._parse_domain(d) for d in cfg.domains]
+        self.metrics: list[dict] = []
+        self.next_seq = 0
+        self.superstep = 0
+        self.total_done = 0
+        self.frontier: DataFrame | None = None
+        self.resources: DataFrame | None = None
+        self.order: DataFrame | None = None
+
+    # -- preparation -------------------------------------------------------
+
+    @staticmethod
+    def _parse_domain(d: str) -> tuple[str, str]:
+        """Domain -> (authority, path prefix), both canonicalized so they
+        compare equal against normalized candidate urls
+        (reference compares raw parsed hosts, lib/job.go:250-271; our
+        candidates are already normalized so domains must be too)."""
+        n = normalize_url(d)
+        parts = urlsplit(n or d)
+        return (parts.netloc, parts.path or "")
+
+    def _prep_pages(self, pages: DataFrame) -> DataFrame:
+        """Normalize join keys once; column-prune everything else lazily."""
+        cols = dict.fromkeys(pages.columns)
+        p = pages.withColumn("p_url_norm", _norm_udf(F.col("url")))
+        if "redirect_to" in cols:
+            p = p.withColumn(
+                "p_redir_norm",
+                F.when(
+                    F.col("redirect_to").isNotNull(),
+                    _norm_udf(F.col("redirect_to")),
+                ),
+            )
+        else:
+            p = p.withColumn(
+                "redirect_to", F.lit(None).cast("string")
+            ).withColumn("p_redir_norm", F.lit(None).cast("string"))
+        if "status" not in cols:
+            p = p.withColumn("status", F.lit(200))
+        if "content_type" not in cols:
+            p = p.withColumn(
+                "content_type", F.lit("text/html; charset=utf-8")
+            )
+        sel = p.select(
+            F.col("p_url_norm"),
+            F.col("url").alias("p_url"),
+            F.col("warc_ts").alias("p_warc_ts"),
+            F.col("html").alias("p_html"),
+            F.col("status").alias("p_status"),
+            F.col("content_type").alias("p_content_type"),
+            F.col("p_redir_norm"),
+        )
+        return sel
+
+    def _seed_frontier(self) -> DataFrame:
+        rows = [
+            (
+                u,                       # exact raw seed string (not normalized
+                #                          — reference lib/coordinator.go:174-178)
+                _canonical_host_py(u),
+                0, i, STATUS_QUEUED, 0, 0, 0, 0, self.cfg.job_id,
+            )
+            for i, u in enumerate(self.cfg.seeds)
+        ]
+        self.next_seq = len(rows)
+        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        return df.withColumn(
+            "part_id",
+            F.pmod(F.xxhash64("host"), F.lit(self.cfg.seen_partitions)).cast(
+                "int"
+            ),
+        )
+
+    # -- superstep stages ---------------------------------------------------
+
+    def _pick_batch(self, queued: DataFrame) -> DataFrame:
+        b = P.pick_budget_window(queued, self.cfg.host_budget_per_superstep)
+        return P.cap_batch(b, self.cfg.max_batch_size)
+
+    def _fetch(self, batch: DataFrame) -> DataFrame:
+        """Simulated GET (J4): left join on normalized url; follow redirect
+        chains with ≤ max_redirects iterative joins. Returns one terminal
+        row per batch url plus recorded redirect-hop rows."""
+        b = batch.withColumn("url_norm", _norm_udf(F.col("url")))
+        cur = b.join(self.pages, b.url_norm == self.pages.p_url_norm, "left")
+        cur = cur.withColumn("final_url_norm", F.col("url_norm"))
+        cur = cur.withColumn("redirect_from", F.lit(None).cast("string"))
+        cur = cur.withColumn("hops", F.lit(0))
+
+        hop_rows = None
+        has_redirects = (
+            self.pages.filter(F.col("p_redir_norm").isNotNull()).limit(1).count()
+            > 0
+        )
+        if has_redirects:
+            terminals = []
+            for hop in range(self.cfg.max_redirects + 1):
+                redirecting = cur.filter(F.col("p_redir_norm").isNotNull())
+                terminal = cur.filter(F.col("p_redir_norm").isNull())
+                terminals.append(terminal)
+                if redirecting.isEmpty():
+                    cur = None
+                    break
+                if hop == self.cfg.max_redirects:
+                    # cap exceeded (lib/worker.go:222-224): error terminal
+                    cur = redirecting.withColumn(
+                        "p_status", F.lit(None).cast("int")
+                    ).withColumn(
+                        "_redirect_err",
+                        F.lit(f"stopped after {self.cfg.max_redirects} redirects"),
+                    )
+                    terminals.append(cur)
+                    cur = None
+                    break
+                if self.cfg.record_redirects:
+                    hop_row = redirecting.select(
+                        F.col("final_url_norm").alias("url"),
+                        F.col("p_warc_ts").alias("warc_ts"),
+                        F.col("p_status").alias("status"),
+                        F.col("p_content_type").alias("content_type"),
+                        F.col("p_redir_norm").alias("redirect_to"),
+                        F.col("redirect_from"),
+                        F.col("depth"),
+                    )
+                    hop_rows = (
+                        hop_row if hop_rows is None
+                        else hop_rows.unionByName(hop_row)
+                    )
+                nxt = redirecting.select(
+                    "url", "host", "depth", "discovery_seq", "status",
+                    "attempts", "prev_http_status", "superstep", "part_id",
+                    "job_id", "url_norm",
+                    F.col("p_redir_norm").alias("_next"),
+                    F.col("final_url_norm").alias("redirect_from"),
+                    (F.col("hops") + 1).alias("hops"),
+                )
+                cur = nxt.join(
+                    self.pages, nxt._next == self.pages.p_url_norm, "left"
+                ).withColumn("final_url_norm", F.col("_next")).drop("_next")
+            parts = [t for t in terminals if t is not None]
+            out = parts[0]
+            for t in parts[1:]:
+                out = out.unionByName(t, allowMissingColumns=True)
+            cur = out
+            if "_redirect_err" not in cur.columns:
+                cur = cur.withColumn(
+                    "_redirect_err", F.lit(None).cast("string")
+                )
+        else:
+            cur = cur.withColumn("_redirect_err", F.lit(None).cast("string"))
+        if hop_rows is not None:
+            self._hop_rows = hop_rows
+        else:
+            self._hop_rows = None
+        return cur
+
+    def _candidate_filter_expr(self):
+        """P7 (lib/job.go:250-271): reject ignore-pattern substrings; accept
+        iff some domain authority matches AND path has the domain's prefix."""
+        url = F.col("url")
+        keep = F.lit(False)
+        authority = F.lower(
+            F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit(""))
+        )
+        path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+        for (auth, pre) in self._domains:
+            cond = authority == F.lit(auth)
+            if pre:
+                cond = cond & path.startswith(F.lit(pre))
+            keep = keep | cond
+        for pat in self.cfg.ignore_patterns:
+            keep = keep & ~url.contains(F.lit(pat))
+        return keep
+
+    # -- the loop ------------------------------------------------------------
+
+    def run(self) -> CrawlResult:
+        if self.frontier is None:
+            self.frontier = self._seed_frontier().localCheckpoint(eager=True)
+            self.resources = self.spark.createDataFrame([], RESOURCES_SCHEMA)
+            self.order = self.spark.createDataFrame([], ORDER_SCHEMA)
+        stop = False
+        while not stop and self.superstep < self.cfg.max_supersteps:
+            queued = self.frontier.filter(F.col("status") == STATUS_QUEUED)
+            batch = self._pick_batch(queued)
+            if batch.isEmpty():  # F9 done-detection — exact in BSP
+                break
+            self.superstep += 1
+            stop = self._superstep(batch)
+            self._checkpoint_state()
+        return CrawlResult(
+            frontier=self.frontier,
+            resources=self.resources,
+            order=self.order,
+            metrics=self.metrics,
+        )
+
+    def _superstep(self, batch: DataFrame) -> bool:
+        t0 = time.monotonic()
+        k = self.superstep
+        cfg = self.cfg
+        batch = batch.localCheckpoint(eager=True)
+
+        fetched = self._fetch(batch)
+        # extraction — one Arrow pass over the joined html column. Relative
+        # hrefs resolve against the page's OWN url (p_url): the simulated
+        # server serves norm-equivalent url forms for the same content, like
+        # a real server 301-ing to the canonical location, and the reference
+        # resolves against the final post-redirect request url
+        # (lib/worker.go:141-151).
+        fetched = with_extraction(
+            fetched.withColumnRenamed("p_html", "html").withColumn(
+                "_base", F.coalesce(F.col("p_url"), F.col("final_url_norm"))
+            ),
+            url_col="_base",
+            html_col="html",
+        )
+        fetched = fetched.withColumn(
+            "_err",
+            F.coalesce(
+                F.col("_redirect_err"),
+                F.when(F.col("p_status").isNull(), F.lit("fetch error: not found")),
+            ),
+        ).withColumn(
+            "_ok",
+            F.col("_err").isNull() & F.col("p_status").between(200, 308),
+        ).withColumn(
+            "_was_redirected", F.col("redirect_from").isNotNull()
+        )
+        fetched = fetched.localCheckpoint(eager=True)
+
+        # ---- resources output (meta projection P10; body stays in pages)
+        res_url = (
+            F.when(
+                F.col("_was_redirected") & F.lit(cfg.record_redirects),
+                F.col("final_url_norm"),
+            ).otherwise(F.col("url"))
+        )
+        res = fetched.select(
+            F.lit(cfg.job_id).alias("job_id"),
+            res_url.alias("url"),
+            F.col("p_warc_ts").alias("warc_ts"),
+            F.coalesce(F.col("p_status"), F.lit(0)).alias("status"),
+            F.col("p_content_type").alias("content_type"),
+            F.col("content_sniff"),
+            F.coalesce(F.length("html").cast("long"), F.lit(0).cast("long"))
+            .alias("content_length"),
+            F.col("title"),
+            F.col("hash"),
+            F.col("links"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("redirect_to"),
+            F.when(
+                F.lit(cfg.record_redirects), F.col("redirect_from")
+            ).alias("redirect_from"),
+            F.col("_err").alias("error"),
+            F.lit(k).alias("superstep"),
+            F.col("depth"),
+        )
+        if self._hop_rows is not None:
+            hops = self._hop_rows.select(
+                F.lit(cfg.job_id).alias("job_id"),
+                F.col("url"),
+                F.col("warc_ts"),
+                F.coalesce(F.col("status"), F.lit(0)).alias("status"),
+                F.col("content_type"),
+                F.lit(None).cast("string").alias("content_sniff"),
+                F.lit(0).cast("long").alias("content_length"),
+                F.lit("").alias("title"),
+                F.lit("").alias("hash"),
+                F.lit(None).cast(ArrayType(StringType())).alias("links"),
+                F.lit("").alias("text"),
+                F.col("redirect_to"),
+                F.col("redirect_from"),
+                F.lit(None).cast("string").alias("error"),
+                F.lit(k).alias("superstep"),
+                F.col("depth"),
+            )
+            res = res.unionByName(hops)
+        self.resources = self.resources.unionByName(res)
+
+        # ---- frontier status updates (F2/F3)
+        upd = fetched.select(
+            "url", "host", "depth", "discovery_seq",
+            (F.col("attempts") + 1).alias("attempts"),
+            F.coalesce(F.col("p_status"), F.lit(0)).alias("prev_http_status"),
+            F.col("superstep"), F.col("part_id"), F.col("job_id"),
+            F.when(F.col("_ok") & F.col("_was_redirected"),
+                   F.lit(STATUS_REDIRECTED))
+            .when(F.col("_ok"), F.lit(STATUS_DONE))
+            .when(F.col("attempts") + 1 <= cfg.max_attempts,
+                  F.lit(STATUS_QUEUED))
+            .otherwise(F.lit(STATUS_FAILED)).alias("status"),
+            F.col("final_url_norm"), F.col("_was_redirected"), F.col("_ok"),
+        )
+        upd = upd.localCheckpoint(eager=True)
+
+        # terminal urls of recorded redirects become their own frontier rows
+        # (the reference "dequeues" never-queued final urls, creating them —
+        # lib/coordinator.go:332-334); upsert: existing row wins its status
+        redirect_terminals = None
+        if cfg.record_redirects:
+            rt = (
+                upd.filter(F.col("_was_redirected") & F.col("_ok"))
+                .select(
+                    F.col("final_url_norm").alias("url"),
+                    F.col("depth"), F.col("discovery_seq"),
+                    F.col("attempts"), F.col("prev_http_status"),
+                    F.col("job_id"),
+                )
+                .groupBy("url")
+                .agg(
+                    F.min("depth").alias("depth"),
+                    F.min("discovery_seq").alias("discovery_seq"),
+                    F.max("attempts").alias("attempts"),
+                    F.max("prev_http_status").alias("prev_http_status"),
+                    F.first("job_id").alias("job_id"),
+                )
+            )
+            rt = rt.join(
+                self.frontier.select("url"), "url", "left_anti"
+            ).join(
+                upd.select("url"), "url", "left_anti"
+            )
+            host_udf = F.pandas_udf(
+                lambda s: s.map(_canonical_host_py), returnType=StringType()
+            )
+            redirect_terminals = rt.select(
+                "url",
+                host_udf(F.col("url")).alias("host"),
+                "depth", "discovery_seq",
+                F.lit(STATUS_DONE).alias("status"),
+                "attempts", "prev_http_status",
+                F.lit(k).alias("superstep"),
+                F.pmod(F.xxhash64(host_udf(F.col("url"))),
+                       F.lit(cfg.seen_partitions)).cast("int").alias("part_id"),
+                "job_id",
+            )
+
+        new_frontier = self.frontier.join(
+            upd.select("url"), "url", "left_anti"
+        ).unionByName(upd.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+        if redirect_terminals is not None:
+            new_frontier = new_frontier.unionByName(redirect_terminals)
+
+        # ---- expansion (F1/F13 + P7 + D1 + D2)
+        n_new = 0
+        if cfg.crawl:
+            cands = fetched.select(
+                F.col("depth").alias("parent_depth"),
+                F.col("discovery_seq").alias("parent_seq"),
+                F.posexplode_outer("links").alias("ordinal", "url"),
+            ).filter(F.col("url").isNotNull())
+            cands = cands.filter(self._candidate_filter_expr())
+            host_udf = F.pandas_udf(
+                lambda s: s.map(_canonical_host_py), returnType=StringType()
+            )
+            cands = cands.withColumn("host", host_udf(F.col("url")))
+            cands = P.apply_robots(cands, self.robots)
+            cands = D.dedup_within_batch(cands)
+            cands = cands.withColumn(
+                "part_id",
+                F.pmod(F.xxhash64("host"),
+                       F.lit(cfg.seen_partitions)).cast("int"),
+            )
+            seen = new_frontier.select("part_id", "url")
+            blooms = None
+            if cfg.use_bloom:
+                blooms = D.build_bloom_partitions(
+                    seen, cfg.bloom_expected_items // cfg.seen_partitions,
+                    cfg.bloom_num_bits,
+                )
+            fresh = D.anti_join_seen(cands, seen, blooms)
+            fresh = with_global_seq(
+                fresh,
+                ["parent_depth", "parent_seq", "ordinal", "url"],
+                seq_col="discovery_seq",
+                start=self.next_seq,
+            )
+            new_rows = fresh.select(
+                "url", "host",
+                (F.col("parent_depth") + 1).alias("depth"),
+                "discovery_seq",
+                F.lit(STATUS_QUEUED).alias("status"),
+                F.lit(0).alias("attempts"),
+                F.lit(0).alias("prev_http_status"),
+                F.lit(k).alias("superstep"),
+                "part_id",
+                F.lit(cfg.job_id).alias("job_id"),
+            )
+            n_new = new_rows.count()
+            self.next_seq += n_new
+            new_frontier = new_frontier.unionByName(new_rows)
+
+        self.frontier = new_frontier
+
+        # ---- crawl-order log + metrics
+        self.order = self.order.unionByName(
+            batch.select(
+                F.lit(k).alias("superstep"), "depth", "discovery_seq", "url"
+            )
+        )
+        counts = {
+            r["status"]: r["n"]
+            for r in upd.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        n_done = counts.get(STATUS_DONE, 0) + counts.get(STATUS_REDIRECTED, 0)
+        self.total_done += n_done
+        m = {
+            "superstep": k,
+            "batch": sum(counts.values()),
+            "done": counts.get(STATUS_DONE, 0),
+            "redirected": counts.get(STATUS_REDIRECTED, 0),
+            "requeued": counts.get(STATUS_QUEUED, 0),
+            "failed": counts.get(STATUS_FAILED, 0),
+            "new_urls": n_new,
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+        self.metrics.append(m)
+
+        stop = False
+        if cfg.stop_url:
+            if batch.filter(F.col("url") == cfg.stop_url).limit(1).count() > 0:
+                stop = True  # F10
+        if cfg.stop_after_entries and self.total_done >= cfg.stop_after_entries:
+            stop = True  # F11 (enforced; commented out in the reference)
+        return stop
+
+    # -- durability (F17) ----------------------------------------------------
+
+    def _checkpoint_state(self) -> None:
+        if not self.workdir:
+            self.frontier = self.frontier.localCheckpoint(eager=True)
+            self.resources = self.resources.localCheckpoint(eager=True)
+            self.order = self.order.localCheckpoint(eager=True)
+            return
+        k = self.superstep
+        base = os.path.join(self.workdir, f"superstep={k:05d}")
+        for name in ("frontier", "resources", "order"):
+            getattr(self, name).write.mode("overwrite").parquet(
+                os.path.join(base, name)
+            )
+            setattr(
+                self, name,
+                self.spark.read.schema(getattr(self, name).schema).parquet(
+                    os.path.join(base, name)
+                ),
+            )
+        manifest = {
+            "superstep": k,
+            "next_seq": self.next_seq,
+            "total_done": self.total_done,
+            "metrics": self.metrics[-1],
+            "path": base,
+        }
+        with open(os.path.join(self.workdir, "manifest.jsonl"), "a") as f:
+            f.write(json.dumps(manifest) + "\n")
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        pages: DataFrame,
+        cfg: CrawlConfig,
+        workdir: str,
+        robots: DataFrame | None = None,
+    ) -> "Crawler":
+        """Restart mid-crawl from the last completed superstep's snapshot.
+        Identical ordering is guaranteed because all state (including the
+        discovery-sequence high-water mark) is in the manifest + parquet."""
+        c = cls(spark, pages, cfg, robots=robots, workdir=workdir)
+        with open(os.path.join(workdir, "manifest.jsonl")) as f:
+            lines = [json.loads(x) for x in f if x.strip()]
+        if not lines:
+            return c
+        last = lines[-1]
+        c.superstep = last["superstep"]
+        c.next_seq = last["next_seq"]
+        c.total_done = last["total_done"]
+        c.metrics = [x["metrics"] for x in lines]
+        c.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
+            os.path.join(last["path"], "frontier")
+        )
+        c.resources = spark.read.schema(RESOURCES_SCHEMA).parquet(
+            os.path.join(last["path"], "resources")
+        )
+        c.order = spark.read.schema(ORDER_SCHEMA).parquet(
+            os.path.join(last["path"], "order")
+        )
+        return c
+
+
+def crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: CrawlConfig,
+    robots: DataFrame | None = None,
+    workdir: str | None = None,
+) -> CrawlResult:
+    """One-call convenience: build a Crawler and run to completion."""
+    return Crawler(spark, pages, cfg, robots=robots, workdir=workdir).run()
