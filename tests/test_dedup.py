@@ -1,0 +1,108 @@
+"""Dedup family: exact, MinHash-LSH vs exact Jaccard, SimHash blocking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from walk_spark.operators import dedup_text as DT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup of 0
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, "completely different content about spark dataframes and shuffles"),  # exact dup of 3
+        (5, "unrelated text mentioning nothing similar to other documents here"),
+        (6, "THE Quick  Brown fox jumps over the lazy dog near the river bank"),  # case/ws variant of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = {r["fp"]: r for r in DT.exact_duplicates(docs).collect()}
+    sets = sorted(tuple(r["doc_ids"]) for r in groups.values())
+    # normalization (lower + whitespace collapse) folds 6 into 0/1's group
+    assert sets == [(0, 1, 6), (3, 4)]
+    for r in groups.values():
+        assert r["keep_id"] == min(r["doc_ids"])
+
+
+def test_jaccard_exact_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DT.jaccard_word_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(3, 4)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (0, 5) not in pairs
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    """MinHash-LSH at a high threshold finds the same pairs as exact
+    jaccard (signatures of identical sets are identical; near-dups at
+    jaccard ~0.85 survive 32 bands of 4 rows with near-certainty)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DT.jaccard_word_pairs(docs, threshold=0.8).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in DT.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact <= mh  # no false negatives at this scale
+    # estimates for exact dups are exactly 1.0
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in DT.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert est[(0, 1)] == 1.0 and est[(3, 4)] == 1.0
+
+
+def test_minhash_estimate_accuracy(docs):
+    """k=128 estimate within ~0.15 of exact jaccard for the near-dup pair."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DT.jaccard_word_pairs(docs, threshold=0.3).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in DT.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    for pair in est:
+        if pair in exact:
+            assert abs(est[pair] - exact[pair]) < 0.2, (pair, est[pair], exact[pair])
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DT.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    # identical token streams -> identical simhash -> hamming 0
+    assert pairs[(0, 1)] == 0
+    assert pairs[(3, 4)] == 0
+    assert pairs[(0, 6)] == 0
+    # one-word-changed doc is within a few bits
+    assert (0, 2) in pairs
+    # unrelated docs are far apart
+    assert (0, 5) not in pairs
+
+
+def test_simhash_blocking_is_complete(spark):
+    """Pigeonhole property: every pair with hamming ≤ 3 shares a 16-bit
+    band, so blocking finds it. Construct signatures by perturbing texts."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(i, base + f" tail{i % 2}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = DT.simhash_pairs(df, max_hamming=3)
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            DT.simhash_signatures(df).collect()}
+    expect = {
+        (a, b)
+        for a in sigs for b in sigs
+        if a < b and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert {(r["id_a"], r["id_b"]) for r in got.collect()} == expect

@@ -1,0 +1,132 @@
+"""Scale machinery: bloom prefilter equivalence, sequence assignment,
+politeness strategies, skewed-corpus crawl with all scale paths on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from walk_spark.config import CrawlConfig
+from walk_spark.operators import dedup as D
+from walk_spark.operators import politeness as P
+from walk_spark.operators.frontier import with_global_seq
+from walk_spark.plans.crawl import crawl
+from walk_spark.sources.pages import skewed_corpus
+
+
+def test_bloom_prefilter_equivalence(spark):
+    """anti_join_seen with blooms must equal the exact anti-join."""
+    seen = spark.range(0, 5000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 8).cast("int").alias("part_id"),
+    )
+    cands = spark.range(2500, 7500).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 8).cast("int").alias("part_id"),
+    )
+    exact = {r["url"] for r in D.anti_join_seen(cands, seen).collect()}
+    blooms = D.build_bloom_partitions(seen, expected_items=1000,
+                                      num_bits=65536)
+    with_bloom = {
+        r["url"] for r in D.anti_join_seen(cands, seen, blooms).collect()
+    }
+    assert with_bloom == exact
+    assert len(exact) == 2500
+
+
+def test_with_global_seq_dense_and_ordered(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 13).cast("int").alias("parent_depth"),
+        (999 - F.col("id")).alias("parent_seq"),
+        F.lit(0).alias("ordinal"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+    )
+    out = with_global_seq(
+        df, ["parent_depth", "parent_seq", "ordinal", "url"],
+        seq_col="seq", start=42,
+    )
+    rows = out.orderBy("seq").collect()
+    assert [r["seq"] for r in rows] == list(range(42, 42 + 1000))
+    keys = [(r["parent_depth"], r["parent_seq"], r["ordinal"], r["url"])
+            for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_with_global_seq_partition_invariance(spark):
+    """Same input in different physical layouts -> same sequence values."""
+    base = spark.range(0, 500).select(
+        F.lit(0).alias("parent_depth"),
+        F.col("id").alias("parent_seq"),
+        F.lit(0).alias("ordinal"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+    )
+    a = with_global_seq(base.repartition(3),
+                        ["parent_depth", "parent_seq", "ordinal", "url"],
+                        seq_col="seq")
+    b = with_global_seq(base.repartition(17),
+                        ["parent_depth", "parent_seq", "ordinal", "url"],
+                        seq_col="seq")
+    ka = {(r["url"], r["seq"]) for r in a.collect()}
+    kb = {(r["url"], r["seq"]) for r in b.collect()}
+    assert ka == kb
+
+
+def test_politeness_strategies_agree(spark):
+    queued = spark.range(0, 300).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 3).cast("string"),
+                 F.lit(".test/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+        F.lit(1).alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    )
+    w = {(r["host"], r["url"]) for r in
+         P.pick_budget_window(queued, 10).collect()}
+    p = {(r["host"], r["url"]) for r in
+         P.pick_budget_pandas(queued, 10).collect()}
+    assert w == p
+    assert len(w) == 30  # 3 hosts × budget 10
+    # both respect canonical order: picks are the lowest seq per host
+    picked_seqs = sorted(
+        int(u.rsplit("/", 1)[1]) for _, u in w
+    )
+    assert picked_seqs == sorted(range(30))
+
+
+def test_cap_batch(spark):
+    queued = spark.range(0, 100).select(
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 3, "0"))
+        .alias("url"),
+        F.lit(1).alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    )
+    got = P.cap_batch(queued, 7).collect()
+    assert sorted(r["discovery_seq"] for r in got) == list(range(7))
+
+
+@pytest.mark.slow
+def test_skewed_crawl_all_scale_paths(spark):
+    """Full crawl of the skewed corpus with bloom + politeness + caps on:
+    every url visited exactly once, hot host throttled per superstep."""
+    n = 2000
+    pages = skewed_corpus(spark, n_urls=n, n_hosts=16, out_degree=6)
+    cfg = CrawlConfig(
+        seeds=["http://host0.test/p/0.html"],
+        domains=[f"http://host{h}.test" for h in range(16)],
+        record_redirects=False,
+        use_bloom=True,
+        bloom_expected_items=100_000,
+        bloom_num_bits=1 << 20,
+        host_budget_per_superstep=200,
+        max_batch_size=1500,
+        seen_partitions=8,
+    )
+    r = crawl(spark, pages, cfg)
+    assert r.frontier.filter(F.col("status") == "done").count() == n
+    assert r.order.groupBy("url").count().filter("count > 1").count() == 0
+    per_host = (
+        r.order.withColumn(
+            "host", F.regexp_extract("url", r"http://([^/]+)/", 1)
+        )
+        .groupBy("superstep", "host").count().collect()
+    )
+    assert all(x["count"] <= 200 for x in per_host)

@@ -93,4 +93,6 @@ def test_surt():
 def test_series_wrapper():
     s = pd.Series(["https://www.a.com", None, ":::::"])
     out = normalize_url_series(s)
-    assert list(out) == ["http://a.com", "", ""]
+    # NULL propagates (so nullable columns keep is-null semantics);
+    # unparseable urls become ""
+    assert list(out) == ["http://a.com", None, ""]

@@ -14,11 +14,26 @@ The reference performs one badger point-lookup per candidate URL
 Partitioning: both sides carry ``part_id`` (salted canonical-host hash) so
 the anti-join is an equi-join on (part_id, url) — partition-prunable on an
 Iceberg seen table, and co-partitioned when the frontier is bucketed.
+
+Bloom implementation note: Spark's ``bloom_filter_agg``/``might_contain``
+expressions are internal-only (used by runtime join filters, not registered
+as public SQL functions in Spark 4), so the per-partition filters are numpy
+bitsets built with ``applyInPandas`` and probed inside an Arrow UDF. Each
+partition's filter is sized for items/P. In this sandbox the filter map
+travels to probes as a task-closure broadcast; on a cluster the same
+(part_id, bitset) rows live in a table and the probe is a cogrouped
+``applyInPandas`` — the construction/probe kernels below are shared by both
+deployments.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType
 
 
 def dedup_within_batch(candidates: DataFrame) -> DataFrame:
@@ -47,23 +62,49 @@ def dedup_within_batch(candidates: DataFrame) -> DataFrame:
     )
 
 
+# -- bloom kernels -------------------------------------------------------------
+
+_N_HASHES = 7
+
+
+def _url_hashes(urls: pd.Series, num_bits: int) -> np.ndarray:
+    """(n, _N_HASHES) bit positions via double hashing of a stable digest."""
+    h1 = np.empty(len(urls), dtype=np.uint64)
+    h2 = np.empty(len(urls), dtype=np.uint64)
+    for i, u in enumerate(urls):
+        d = hashlib.blake2b((u or "").encode("utf-8"), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little") | 1
+    ks = np.arange(_N_HASHES, dtype=np.uint64)
+    return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(num_bits)
+
+
 def build_bloom_partitions(
     seen: DataFrame,
     expected_items: int,
     num_bits: int,
 ) -> DataFrame:
-    """One bloom filter per seen-set partition: (part_id, bf binary).
+    """One bloom bitset per seen-set partition: (part_id, bf binary).
 
-    Uses Spark's JVM-side ``bloom_filter_agg`` over ``xxhash64(url)``.
     The per-partition split keeps each filter's fpp low even at 10^10 urls
-    total (items/partition = total/P) and lets the filters be rebuilt
+    total (items/partition = total/P) and lets filters be rebuilt
     incrementally per partition as the crawl grows.
     """
-    per_part = max(expected_items, 4096)
-    return seen.groupBy("part_id").agg(
-        F.expr(
-            f"bloom_filter_agg(xxhash64(url), {per_part}L, {num_bits}L)"
-        ).alias("bf")
+    nb = max(int(num_bits), 1024)
+
+    def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(nb // 8 + 1, dtype=np.uint8)
+        pos = _url_hashes(pdf["url"], nb).ravel()
+        np.bitwise_or.at(bits, pos >> np.uint64(3),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pd.DataFrame(
+            {"part_id": [int(key[0])], "bf": [bits.tobytes()]}
+        )
+
+    return (
+        seen.select("part_id", "url")
+        .groupBy("part_id")
+        .applyInPandas(_build, schema="part_id int, bf binary")
     )
 
 
@@ -82,16 +123,31 @@ def anti_join_seen(
         return candidates.join(
             seen.select("part_id", "url"), ["part_id", "url"], "left_anti"
         )
-    c = candidates.join(F.broadcast(blooms), "part_id", "left")
-    maybe_seen = c.filter(
-        F.col("bf").isNotNull()
-        & F.expr("might_contain(bf, xxhash64(url))")
-    ).drop("bf")
-    definitely_new = c.filter(
-        F.col("bf").isNull()
-        | ~F.expr("might_contain(bf, xxhash64(url))")
-    ).drop("bf")
-    confirmed_new = maybe_seen.join(
-        seen.select("part_id", "url"), ["part_id", "url"], "left_anti"
+    bf_map = {r["part_id"]: r["bf"] for r in blooms.collect()}
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(bf_map)
+
+    def _might_contain(urls: pd.Series, parts: pd.Series) -> pd.Series:
+        out = np.zeros(len(urls), dtype=bool)
+        m = bc.value
+        for i, (u, p) in enumerate(zip(urls, parts)):
+            bf = m.get(int(p))
+            if bf is None:
+                continue
+            bits = np.frombuffer(bf, dtype=np.uint8)
+            nb = (len(bits) - 1) * 8
+            pos = _url_hashes(pd.Series([u]), nb).ravel()
+            out[i] = bool(
+                np.all(bits[pos >> np.uint64(3)]
+                       & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+            )
+        return pd.Series(out)
+
+    mc = F.pandas_udf(_might_contain, returnType=BooleanType())
+    c = candidates.withColumn("_maybe", mc(F.col("url"), F.col("part_id")))
+    definitely_new = c.filter(~F.col("_maybe")).drop("_maybe")
+    confirmed_new = (
+        c.filter(F.col("_maybe")).drop("_maybe")
+        .join(seen.select("part_id", "url"), ["part_id", "url"], "left_anti")
     )
     return definitely_new.unionByName(confirmed_new)

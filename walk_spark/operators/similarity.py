@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      — brute-force top-k against one query vector: the
+  dot product is a JVM-side ``aggregate(zip_with(...))`` (no Python), the
+  top-k a ``orderBy(...).limit(k)`` which Spark executes as TakeOrdered
+  (per-partition heaps + driver merge of k·P rows — no global sort).
+- ``rp_lsh_buckets``   — random-hyperplane LSH signatures for the scale
+  path: at 10^10 rows, brute force scans everything; bucketing first means
+  each query touches ~corpus/2^bits rows.
+- ``ann_topk_lsh``     — bucketed ANN: probe the query's bucket (plus
+  optional multi-probe neighbors), brute-force only inside.
+- ``embedding_dup_pairs`` — near-duplicate pairs by cosine ≥ threshold,
+  LSH-bucketed self-join (the embedding-space analog of MinHash dedup).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot_with_lit(vec_col, qvec: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col):
+    return F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Top-k rows by cosine similarity to ``query_vec`` (excluding exact
+    self if present is the caller's choice). Rounded for cross-engine
+    comparability; ties broken by id."""
+    qn = math.sqrt(sum(float(x) * x for x in query_vec)) or 1.0
+    cos = _dot_with_lit(F.col(vec_col), query_vec) / (
+        _norm(F.col(vec_col)) * F.lit(qn)
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.round(cos, 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim)).astype(np.float32)
+
+
+def rp_lsh_buckets(embeddings: DataFrame, dim: int, bits: int = 12,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42) -> DataFrame:
+    """(vec_id, embedding, bucket long): sign-of-projection LSH. One Arrow
+    UDF pass, numpy matmul per batch."""
+    H = _hyperplanes(dim, bits, seed)
+    pows = (1 << np.arange(bits, dtype=np.uint64)).astype(np.uint64)
+
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        signs = (M @ H.T) > 0
+        return pd.Series((signs.astype(np.uint64) @ pows).astype(np.int64))
+
+    udf = F.pandas_udf(_bucket, returnType=LongType())
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        udf(F.col(vec_col)).alias("bucket"),
+    )
+
+
+def query_bucket(query_vec: list[float], bits: int = 12, seed: int = 42,
+                 n_probe_flips: int = 0) -> list[int]:
+    """Bucket id(s) for a query vector; with multi-probe, also the buckets
+    at hamming distance 1 on the lowest-margin bits."""
+    H = _hyperplanes(len(query_vec), bits, seed)
+    proj = H @ np.asarray(query_vec, dtype=np.float32)
+    signs = proj > 0
+    pows = (1 << np.arange(bits, dtype=np.uint64)).astype(np.uint64)
+    base = int((signs.astype(np.uint64) @ pows))
+    buckets = [base]
+    if n_probe_flips:
+        order = np.argsort(np.abs(proj))[:n_probe_flips]
+        for b in order:
+            buckets.append(base ^ (1 << int(b)))
+    return buckets
+
+
+def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                 bits: int = 12, n_probe_flips: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k: brute-force cosine only inside the query's LSH
+    bucket(s). Recall tunable via bits/probes; partition pruning applies
+    when the table is written partitioned by bucket."""
+    dim = len(query_vec)
+    bucketed = rp_lsh_buckets(embeddings, dim, bits, id_col, vec_col, seed)
+    probes = query_bucket(query_vec, bits, seed, n_probe_flips)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, "vec_id", "embedding")
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                        dim: int = 64, bits: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold: LSH-bucket self-join,
+    exact cosine verify inside buckets only."""
+    b = rp_lsh_buckets(embeddings, dim, bits, id_col, vec_col, seed)
+    l = b.select("bucket", F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("v_a"))
+    r = b.select("bucket", F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda a, bb: a * bb),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -129,14 +129,32 @@ class Crawler:
         self.robots = robots
         self.workdir = workdir
         self.pages = self._prep_pages(pages)
+        # the normalized join keys are computed ONCE: persist the prepped
+        # corpus projection (url_norm + fetch columns) so each superstep's
+        # fetch join doesn't re-run the normalization UDF over the corpus.
+        # At warehouse scale this is a stored column on the Iceberg pages
+        # table (write once, scan many), not a cache.
+        self.pages = self.pages.persist()
+        self._has_redirects: bool | None = None
+        self._chains: DataFrame | None = None
+        self._chain_hops: DataFrame | None = None
+        self._hop_rows: DataFrame | None = None
         self._domains = [self._parse_domain(d) for d in cfg.domains]
         self.metrics: list[dict] = []
         self.next_seq = 0
         self.superstep = 0
         self.total_done = 0
+        self._pin_parts = max(
+            spark.sparkContext.defaultParallelism, cfg.seen_partitions
+        )
         self.frontier: DataFrame | None = None
         self.resources: DataFrame | None = None
         self.order: DataFrame | None = None
+        # per-superstep output parts — unioned lazily when read, so the
+        # growing resources/order logs are never rewritten per superstep
+        # (only the frontier, which the loop actually re-reads, is).
+        self._res_parts: list[DataFrame] = []
+        self._order_parts: list[DataFrame] = []
 
     # -- preparation -------------------------------------------------------
 
@@ -202,87 +220,157 @@ class Crawler:
             ),
         )
 
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """coalesce + localCheckpoint: cut lineage AND bound the partition
+        count. Unions add partition counts (a 12-branch redirect union kept
+        48 partitions; three supersteps of frontier merges compounded to
+        600-task stages on a 20-row fixture — each task paying fixed
+        scheduler + Python-worker overhead). Pinning keeps every state
+        DataFrame at ≤ max(defaultParallelism, seen_partitions) partitions;
+        coalesce is shuffle-free."""
+        return df.coalesce(self._pin_parts).localCheckpoint(eager=True)
+
     # -- superstep stages ---------------------------------------------------
 
     def _pick_batch(self, queued: DataFrame) -> DataFrame:
         b = P.pick_budget_window(queued, self.cfg.host_budget_per_superstep)
         return P.cap_batch(b, self.cfg.max_batch_size)
 
-    def _fetch(self, batch: DataFrame) -> DataFrame:
-        """Simulated GET (J4): left join on normalized url; follow redirect
-        chains with ≤ max_redirects iterative joins. Returns one terminal
-        row per batch url plus recorded redirect-hop rows."""
-        b = batch.withColumn("url_norm", _norm_udf(F.col("url")))
-        cur = b.join(self.pages, b.url_norm == self.pages.p_url_norm, "left")
-        cur = cur.withColumn("final_url_norm", F.col("url_norm"))
-        cur = cur.withColumn("redirect_from", F.lit(None).cast("string"))
-        cur = cur.withColumn("hops", F.lit(0))
+    def _redirect_chains(self) -> DataFrame | None:
+        """Resolve every redirect chain in the corpus ONCE (F6 — the
+        reference follows hops per fetch, lib/worker.go:195-228; here
+        redirects are a property of the corpus, so chains are precomputed
+        and each superstep pays a single extra join regardless of length).
 
-        hop_rows = None
-        has_redirects = (
-            self.pages.filter(F.col("p_redir_norm").isNotNull()).limit(1).count()
-            > 0
+        Returns (src: first redirecting url_norm, terminal: landing url_norm
+        or NULL when the cap is exceeded, prev: last hop source, hops:
+        array<struct<url, redirect_to, redirect_from, warc_ts, status,
+        content_type>>) — hops carry the page metadata needed to emit the
+        recorded redirect resources (F6/F7). Cycles and >max_redirects
+        chains end with terminal NULL ("too many redirects",
+        lib/worker.go:222-224). Cost: ≤ max_redirects small joins over only
+        the redirecting subset of the corpus, once per crawl.
+        """
+        if self._chains is not None or self._has_redirects is False:
+            return self._chains
+        edges = self.pages.filter(F.col("p_redir_norm").isNotNull()).select(
+            F.col("p_url_norm").alias("src"),
+            F.col("p_redir_norm").alias("dst"),
+            F.col("p_warc_ts").alias("e_ts"),
+            F.col("p_status").alias("e_status"),
+            F.col("p_content_type").alias("e_ct"),
         )
-        if has_redirects:
-            terminals = []
-            for hop in range(self.cfg.max_redirects + 1):
-                redirecting = cur.filter(F.col("p_redir_norm").isNotNull())
-                terminal = cur.filter(F.col("p_redir_norm").isNull())
-                terminals.append(terminal)
-                if redirecting.isEmpty():
-                    cur = None
-                    break
-                if hop == self.cfg.max_redirects:
-                    # cap exceeded (lib/worker.go:222-224): error terminal
-                    cur = redirecting.withColumn(
-                        "p_status", F.lit(None).cast("int")
-                    ).withColumn(
-                        "_redirect_err",
-                        F.lit(f"stopped after {self.cfg.max_redirects} redirects"),
+        if self._has_redirects is None:
+            self._has_redirects = not edges.isEmpty()
+            if not self._has_redirects:
+                return None
+        edges = self._pin(edges)
+        hop0 = F.struct(
+            F.col("src").alias("url"),
+            F.col("dst").alias("redirect_to"),
+            F.lit(None).cast("string").alias("redirect_from"),
+            F.col("e_ts").alias("warc_ts"),
+            F.col("e_status").alias("status"),
+            F.col("e_ct").alias("content_type"),
+        )
+        state = edges.select(
+            "src",
+            F.col("dst").alias("cur"),
+            F.array(hop0).alias("hops"),
+            F.lit(False).alias("done"),
+        )
+        e2 = edges.select(
+            F.col("src").alias("_s"), F.col("dst").alias("_d"),
+            F.col("e_ts").alias("_ts"), F.col("e_status").alias("_st"),
+            F.col("e_ct").alias("_ct"),
+        )
+        for _ in range(self.cfg.max_redirects):
+            j = state.join(e2, state.cur == e2._s, "left")
+            step = F.struct(
+                F.col("cur").alias("url"),
+                F.col("_d").alias("redirect_to"),
+                F.element_at("hops", -1)["url"].alias("redirect_from"),
+                F.col("_ts").alias("warc_ts"),
+                F.col("_st").alias("status"),
+                F.col("_ct").alias("content_type"),
+            )
+            state = j.select(
+                "src",
+                F.when(F.col("done") | F.col("_d").isNull(), F.col("cur"))
+                .otherwise(F.col("_d")).alias("cur"),
+                F.when(F.col("done") | F.col("_d").isNull(), F.col("hops"))
+                .otherwise(F.concat("hops", F.array(step))).alias("hops"),
+                (F.col("done") | F.col("_d").isNull()).alias("done"),
+            )
+            state = self._pin(state)
+            if state.filter(~F.col("done")).isEmpty():
+                break
+        self._chains = self._pin(
+            state.select(
+                "src",
+                F.when(F.col("done"), F.col("cur")).alias("terminal"),
+                F.element_at("hops", -1)["url"].alias("prev"),
+            )
+        )
+        self._chain_hops = self._pin(
+            state.select("src", F.explode("hops").alias("h")).select(
+                "src",
+                F.col("h.url").alias("url"),
+                F.col("h.redirect_to").alias("redirect_to"),
+                F.col("h.redirect_from").alias("redirect_from"),
+                F.col("h.warc_ts").alias("warc_ts"),
+                F.col("h.status").alias("status"),
+                F.col("h.content_type").alias("content_type"),
+            )
+        )
+        return self._chains
+
+    def _fetch(self, batch: DataFrame) -> DataFrame:
+        """Simulated GET (J4): resolve redirect terminals via the
+        precomputed chains table, then a single content join on the final
+        url. One row per batch url; recorded hop rows in self._hop_rows."""
+        b = batch.withColumn("url_norm", _norm_udf(F.col("url")))
+        chains = self._redirect_chains()
+        self._hop_rows = None
+        if chains is not None:
+            b = b.join(chains, b.url_norm == chains.src, "left")
+            b = b.withColumn(
+                "final_url_norm",
+                F.when(F.col("src").isNull(), F.col("url_norm"))
+                .otherwise(F.col("terminal")),
+            ).withColumn(
+                "redirect_from",
+                F.when(F.col("src").isNotNull() & F.col("terminal").isNotNull(),
+                       F.col("prev")),
+            ).withColumn(
+                "_redirect_err",
+                F.when(
+                    F.col("src").isNotNull() & F.col("terminal").isNull(),
+                    F.lit(f"stopped after {self.cfg.max_redirects} redirects"),
+                ),
+            ).drop("src", "terminal", "prev")
+            if self.cfg.record_redirects:
+                hop_src = b.select("url_norm", "depth")
+                self._hop_rows = self._pin(
+                    hop_src.join(
+                        self._chain_hops,
+                        hop_src.url_norm == self._chain_hops.src,
+                    ).select(
+                        "url", "warc_ts", "status", "content_type",
+                        "redirect_to", "redirect_from", "depth",
                     )
-                    terminals.append(cur)
-                    cur = None
-                    break
-                if self.cfg.record_redirects:
-                    hop_row = redirecting.select(
-                        F.col("final_url_norm").alias("url"),
-                        F.col("p_warc_ts").alias("warc_ts"),
-                        F.col("p_status").alias("status"),
-                        F.col("p_content_type").alias("content_type"),
-                        F.col("p_redir_norm").alias("redirect_to"),
-                        F.col("redirect_from"),
-                        F.col("depth"),
-                    )
-                    hop_rows = (
-                        hop_row if hop_rows is None
-                        else hop_rows.unionByName(hop_row)
-                    )
-                nxt = redirecting.select(
-                    "url", "host", "depth", "discovery_seq", "status",
-                    "attempts", "prev_http_status", "superstep", "part_id",
-                    "job_id", "url_norm",
-                    F.col("p_redir_norm").alias("_next"),
-                    F.col("final_url_norm").alias("redirect_from"),
-                    (F.col("hops") + 1).alias("hops"),
-                )
-                cur = nxt.join(
-                    self.pages, nxt._next == self.pages.p_url_norm, "left"
-                ).withColumn("final_url_norm", F.col("_next")).drop("_next")
-            parts = [t for t in terminals if t is not None]
-            out = parts[0]
-            for t in parts[1:]:
-                out = out.unionByName(t, allowMissingColumns=True)
-            cur = out
-            if "_redirect_err" not in cur.columns:
-                cur = cur.withColumn(
-                    "_redirect_err", F.lit(None).cast("string")
                 )
         else:
-            cur = cur.withColumn("_redirect_err", F.lit(None).cast("string"))
-        if hop_rows is not None:
-            self._hop_rows = hop_rows
-        else:
-            self._hop_rows = None
+            b = b.withColumn(
+                "final_url_norm", F.col("url_norm")
+            ).withColumn(
+                "redirect_from", F.lit(None).cast("string")
+            ).withColumn("_redirect_err", F.lit(None).cast("string"))
+        cur = b.join(
+            self.pages.drop("p_redir_norm"),
+            b.final_url_norm == self.pages.p_url_norm,
+            "left",
+        )
         return cur
 
     def _candidate_filter_expr(self):
@@ -305,11 +393,39 @@ class Crawler:
 
     # -- the loop ------------------------------------------------------------
 
-    def run(self) -> CrawlResult:
+    def _ensure_state(self) -> None:
         if self.frontier is None:
-            self.frontier = self._seed_frontier().localCheckpoint(eager=True)
+            self.frontier = self._pin(self._seed_frontier())
             self.resources = self.spark.createDataFrame([], RESOURCES_SCHEMA)
             self.order = self.spark.createDataFrame([], ORDER_SCHEMA)
+
+    def add_seeds(self, seeds: list[str]) -> None:
+        """Enqueue more seeds mid-crawl (the streaming-ingest path). Unlike
+        initial seeds (enqueued unchecked, reference parity), late seeds are
+        deduped against the frontier so stream redelivery is idempotent."""
+        self._ensure_state()
+        rows = [
+            (
+                u, _canonical_host_py(u), 0, self.next_seq + i, STATUS_QUEUED,
+                0, 0, self.superstep, 0, self.cfg.job_id,
+            )
+            for i, u in enumerate(seeds)
+        ]
+        if not rows:
+            return
+        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA).withColumn(
+            "part_id",
+            F.pmod(F.xxhash64("host"),
+                   F.lit(self.cfg.seen_partitions)).cast("int"),
+        )
+        fresh = df.join(self.frontier.select("url"), "url", "left_anti")
+        n = fresh.count()
+        self.next_seq += len(rows)  # seq values are unique, not dense
+        if n:
+            self.frontier = self._pin(self.frontier.unionByName(fresh))
+
+    def run(self) -> CrawlResult:
+        self._ensure_state()
         stop = False
         while not stop and self.superstep < self.cfg.max_supersteps:
             queued = self.frontier.filter(F.col("status") == STATUS_QUEUED)
@@ -319,6 +435,7 @@ class Crawler:
             self.superstep += 1
             stop = self._superstep(batch)
             self._checkpoint_state()
+        self._flush_parts()
         return CrawlResult(
             frontier=self.frontier,
             resources=self.resources,
@@ -330,7 +447,7 @@ class Crawler:
         t0 = time.monotonic()
         k = self.superstep
         cfg = self.cfg
-        batch = batch.localCheckpoint(eager=True)
+        batch = self._pin(batch)
 
         fetched = self._fetch(batch)
         # extraction — one Arrow pass over the joined html column. Relative
@@ -358,7 +475,7 @@ class Crawler:
         ).withColumn(
             "_was_redirected", F.col("redirect_from").isNotNull()
         )
-        fetched = fetched.localCheckpoint(eager=True)
+        fetched = self._pin(fetched)
 
         # ---- resources output (meta projection P10; body stays in pages)
         res_url = (
@@ -408,7 +525,7 @@ class Crawler:
                 F.col("depth"),
             )
             res = res.unionByName(hops)
-        self.resources = self.resources.unionByName(res)
+        self._res_parts.append(res)
 
         # ---- frontier status updates (F2/F3)
         upd = fetched.select(
@@ -416,15 +533,19 @@ class Crawler:
             (F.col("attempts") + 1).alias("attempts"),
             F.coalesce(F.col("p_status"), F.lit(0)).alias("prev_http_status"),
             F.col("superstep"), F.col("part_id"), F.col("job_id"),
-            F.when(F.col("_ok") & F.col("_was_redirected"),
-                   F.lit(STATUS_REDIRECTED))
+            # with record_redirects off the reference follows silently and
+            # marks the original request done (lib/worker.go:141); with it
+            # on, the landing url owns the done row and the source is
+            # terminally 'redirected'
+            F.when(F.col("_ok") & F.col("_was_redirected")
+                   & F.lit(cfg.record_redirects), F.lit(STATUS_REDIRECTED))
             .when(F.col("_ok"), F.lit(STATUS_DONE))
             .when(F.col("attempts") + 1 <= cfg.max_attempts,
                   F.lit(STATUS_QUEUED))
             .otherwise(F.lit(STATUS_FAILED)).alias("status"),
             F.col("final_url_norm"), F.col("_was_redirected"), F.col("_ok"),
         )
-        upd = upd.localCheckpoint(eager=True)
+        upd = self._pin(upd)
 
         # terminal urls of recorded redirects become their own frontier rows
         # (the reference "dequeues" never-queued final urls, creating them —
@@ -526,7 +647,7 @@ class Crawler:
         self.frontier = new_frontier
 
         # ---- crawl-order log + metrics
-        self.order = self.order.unionByName(
+        self._order_parts.append(
             batch.select(
                 F.lit(k).alias("superstep"), "depth", "discovery_seq", "url"
             )
@@ -559,24 +680,47 @@ class Crawler:
 
     # -- durability (F17) ----------------------------------------------------
 
+    def _flush_parts(self) -> None:
+        if self._res_parts:
+            for p in self._res_parts:
+                self.resources = self.resources.unionByName(p)
+            self._res_parts = []
+        if self._order_parts:
+            for p in self._order_parts:
+                self.order = self.order.unionByName(p)
+            self._order_parts = []
+
     def _checkpoint_state(self) -> None:
         if not self.workdir:
-            self.frontier = self.frontier.localCheckpoint(eager=True)
-            self.resources = self.resources.localCheckpoint(eager=True)
-            self.order = self.order.localCheckpoint(eager=True)
+            # frontier is re-read every superstep: checkpoint it to cut
+            # lineage. resources/order parts stay lazy (their inputs are
+            # already localCheckpointed per superstep via `fetched`/`batch`).
+            self.frontier = self._pin(self.frontier)
             return
         k = self.superstep
         base = os.path.join(self.workdir, f"superstep={k:05d}")
-        for name in ("frontier", "resources", "order"):
-            getattr(self, name).write.mode("overwrite").parquet(
-                os.path.join(base, name)
-            )
-            setattr(
-                self, name,
-                self.spark.read.schema(getattr(self, name).schema).parquet(
-                    os.path.join(base, name)
-                ),
-            )
+        # frontier: full snapshot (it's the live state the loop re-reads);
+        # resources/order: append-only per-superstep parts — the logs are
+        # never rewritten (at warehouse scale both are Iceberg appends/MERGEs)
+        self.frontier.write.mode("overwrite").parquet(
+            os.path.join(base, "frontier")
+        )
+        self.frontier = self.spark.read.schema(self.frontier.schema).parquet(
+            os.path.join(base, "frontier")
+        )
+        for name, parts in (("resources", self._res_parts),
+                            ("order", self._order_parts)):
+            for p in parts:
+                path = os.path.join(base, f"{name}_part")
+                p.write.mode("overwrite").parquet(path)
+                setattr(
+                    self, name,
+                    getattr(self, name).unionByName(
+                        self.spark.read.schema(p.schema).parquet(path)
+                    ),
+                )
+        self._res_parts = []
+        self._order_parts = []
         manifest = {
             "superstep": k,
             "next_seq": self.next_seq,
@@ -612,12 +756,19 @@ class Crawler:
         c.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
             os.path.join(last["path"], "frontier")
         )
-        c.resources = spark.read.schema(RESOURCES_SCHEMA).parquet(
-            os.path.join(last["path"], "resources")
-        )
-        c.order = spark.read.schema(ORDER_SCHEMA).parquet(
-            os.path.join(last["path"], "order")
-        )
+        c.resources = spark.createDataFrame([], RESOURCES_SCHEMA)
+        c.order = spark.createDataFrame([], ORDER_SCHEMA)
+        for rec in lines:  # append-only parts, in superstep order
+            rp = os.path.join(rec["path"], "resources_part")
+            op = os.path.join(rec["path"], "order_part")
+            if os.path.isdir(rp):
+                c.resources = c.resources.unionByName(
+                    spark.read.schema(RESOURCES_SCHEMA).parquet(rp)
+                )
+            if os.path.isdir(op):
+                c.order = c.order.unionByName(
+                    spark.read.schema(ORDER_SCHEMA).parquet(op)
+                )
         return c
 
 
