@@ -1,0 +1,78 @@
+"""CLI surface: the walk commands end-to-end through python -m walk_spark.cli."""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "PYTHONPATH": REPO}
+
+
+def run_cli(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "walk_spark.cli", "--cpus", "4", *args],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO,
+    )
+
+
+def test_normalize_url_command():
+    out = run_cli("normalize-url", "https://www.A.com/x/../y/index.html#f")
+    assert out.returncode == 0
+    assert out.stdout.strip() == "http://a.com/y"
+
+
+@pytest.fixture(scope="module")
+def crawl_output(spark):
+    """One end-to-end `start` run shared by the read-path command tests."""
+    from walk_spark.sources.pages import self_linking_pages
+    tmp = tempfile.mkdtemp()
+    pages_path = os.path.join(tmp, "pages")
+    self_linking_pages(spark).write.parquet(pages_path)
+    job = os.path.join(tmp, "job.json")
+    from walk_spark.config import CrawlConfig
+    with open(job, "w") as f:
+        f.write(CrawlConfig(
+            seeds=["http://self.test"], domains=["http://self.test"]
+        ).to_json())
+    out_dir = os.path.join(tmp, "out")
+    os.makedirs(out_dir)
+    r = run_cli("start", "--job", job, "--pages", pages_path,
+                "--output", out_dir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return out_dir
+
+
+def test_start_outputs(crawl_output):
+    sm = json.load(open(os.path.join(crawl_output, "sitemap.json")))
+    assert set(sm) == {
+        "http://self.test", "http://self.test/a.html",
+        "http://self.test/b.html", "http://self.test/c.html",
+    }
+    assert os.path.isdir(os.path.join(crawl_output, "resources"))
+    assert os.path.isdir(os.path.join(crawl_output, "order"))
+
+
+def test_inbound_links_command(crawl_output):
+    r = run_cli("inbound-links", os.path.join(crawl_output, "resources"),
+                "http://self.test/a.html")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout) == [
+        "http://self.test", "http://self.test/a.html",
+        "http://self.test/b.html", "http://self.test/c.html",
+    ]
+
+
+def test_clean_command(crawl_output):
+    tmp_out = os.path.join(crawl_output, "cleaned.json")
+    r = run_cli("clean", os.path.join(crawl_output, "resources"),
+                "http://self.test/a", "--output", tmp_out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["removed"] == 1
+    cleaned = json.load(open(tmp_out))
+    assert "http://self.test/a.html" not in cleaned
+    assert len(cleaned) == 3

@@ -21,6 +21,8 @@ with a per-bucket limit before pairing — exposed as ``max_bucket_size``.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -118,28 +120,36 @@ def minhash_signatures(docs: DataFrame, k: int = 128, shingle_n: int = 3,
     a, b = _minhash_params(k, seed)
 
     def _sig(texts: pd.Series) -> pd.Series:
-        import hashlib
+        # per-token digests memoized across the batch (web-text vocab repeats
+        # heavily); shingle hashes = vectorized polynomial combination of
+        # consecutive token hashes — no per-shingle string building/hashing
+        tok_cache: dict[str, int] = {}
+        A = np.uint64(0x9E3779B97F4A7C15)
+
+        def tok_hash(w: str) -> int:
+            h = tok_cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                tok_cache[w] = h
+            return h
+
         out = []
         for t in texts:
             toks = [w for w in (t or "").lower().split() if w]
-            sh = {
-                " ".join(toks[i:i + shingle_n])
-                for i in range(max(len(toks) - shingle_n + 1, 1))
-            }
-            if not sh:
+            if not toks:
                 out.append(np.zeros(k, dtype=np.int64))
                 continue
-            hv = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
-                    )
-                    for s in sh
-                ),
-                dtype=np.uint64,
-                count=len(sh),
+            th = np.fromiter(
+                (tok_hash(w) for w in toks), dtype=np.uint64, count=len(toks)
             )
-            # (a*h + b) mod p, min over shingles, per hash function
+            n_sh = max(len(th) - shingle_n + 1, 1)
+            hv = np.zeros(n_sh, dtype=np.uint64)
+            for j in range(min(shingle_n, len(th))):
+                hv = hv * A + th[j:j + n_sh]
+            hv = np.unique(hv)  # shingles are a SET (dedup before min)
             m = (hv[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
             out.append(m.min(axis=1).astype(np.int64))
         return pd.Series(out)
@@ -222,21 +232,25 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, simhash long): 64-bit SimHash over word tokens (numpy)."""
 
     def _sim(texts: pd.Series) -> pd.Series:
-        import hashlib
+        tok_cache: dict[str, int] = {}
+
+        def tok_hash(w: str) -> int:
+            h = tok_cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                tok_cache[w] = h
+            return h
+
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             toks = [w for w in (t or "").lower().split() if w]
             if not toks:
                 continue
             hv = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(w.encode("utf-8")).digest()[:8], "little"
-                    )
-                    for w in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
+                (tok_hash(w) for w in toks), dtype=np.uint64, count=len(toks)
             )
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)

@@ -83,7 +83,8 @@ def with_global_seq(
     seq_col: str = "discovery_seq",
     start: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_count: bool = False,
+):
     """Assign a dense global sequence 0..n-1 in ``sort_cols`` order —
     scalable two-phase ranking (NO single-partition window):
 
@@ -111,8 +112,10 @@ def with_global_seq(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    total = acc - start
     if not offsets:
-        return df.withColumn(seq_col, F.lit(start).cast("long"))
+        out = df.withColumn(seq_col, F.lit(start).cast("long"))
+        return (out, 0) if return_count else out
     off_expr = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
     )
@@ -124,9 +127,11 @@ def with_global_seq(
         )
         .drop("_pid")
     )
-    out = out.localCheckpoint(eager=True)  # pin assignment, cut lineage
+    out = out.coalesce(num_partitions).localCheckpoint(eager=True)
     d.unpersist()
-    return out
+    # the per-partition counts were already collected for the offsets — hand
+    # the total back so callers don't pay a separate count() job
+    return (out, total) if return_count else out
 
 
 def empty_frontier(spark) -> DataFrame:

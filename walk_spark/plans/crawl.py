@@ -59,7 +59,7 @@ from walk_spark.operators import dedup as D
 from walk_spark.operators import politeness as P
 from walk_spark.operators.frontier import (
     FRONTIER_SCHEMA, ORDER_COLS, STATUS_DONE, STATUS_FAILED, STATUS_QUEUED,
-    STATUS_REDIRECTED, with_global_seq,
+    STATUS_REDIRECTED, canonical_host_col, with_global_seq,
 )
 
 RESOURCES_SCHEMA = StructType(
@@ -155,6 +155,7 @@ class Crawler:
         # (only the frontier, which the loop actually re-reads, is).
         self._res_parts: list[DataFrame] = []
         self._order_parts: list[DataFrame] = []
+        self._queued_count: int | None = None
 
     # -- preparation -------------------------------------------------------
 
@@ -398,6 +399,7 @@ class Crawler:
             self.frontier = self._pin(self._seed_frontier())
             self.resources = self.spark.createDataFrame([], RESOURCES_SCHEMA)
             self.order = self.spark.createDataFrame([], ORDER_SCHEMA)
+            self._queued_count = len(self.cfg.seeds)
 
     def add_seeds(self, seeds: list[str]) -> None:
         """Enqueue more seeds mid-crawl (the streaming-ingest path). Unlike
@@ -423,17 +425,29 @@ class Crawler:
         self.next_seq += len(rows)  # seq values are unique, not dense
         if n:
             self.frontier = self._pin(self.frontier.unionByName(fresh))
+            if self._queued_count is not None:
+                self._queued_count += n
 
     def run(self) -> CrawlResult:
+        """F9 done-detection without a per-superstep emptiness probe: the
+        queued count is tracked incrementally from superstep metrics
+        (queued' = queued - batch + requeued + new), which the metrics
+        collect already pays for — exact, zero extra jobs."""
         self._ensure_state()
+        if self._queued_count is None:  # resume path: one count, once
+            self._queued_count = self.frontier.filter(
+                F.col("status") == STATUS_QUEUED
+            ).count()
         stop = False
         while not stop and self.superstep < self.cfg.max_supersteps:
+            if self._queued_count <= 0:
+                break
             queued = self.frontier.filter(F.col("status") == STATUS_QUEUED)
             batch = self._pick_batch(queued)
-            if batch.isEmpty():  # F9 done-detection — exact in BSP
-                break
             self.superstep += 1
             stop = self._superstep(batch)
+            m = self.metrics[-1]
+            self._queued_count += m["requeued"] + m["new_urls"] - m["batch"]
             self._checkpoint_state()
         self._flush_parts()
         return CrawlResult(
@@ -447,9 +461,19 @@ class Crawler:
         t0 = time.monotonic()
         k = self.superstep
         cfg = self.cfg
-        batch = self._pin(batch)
+        if cfg.host_budget_per_superstep > 0 or cfg.max_batch_size > 0:
+            # politeness/cap picking shuffles — pin so the fetch join and the
+            # order log don't re-run the windows. Without them, batch is a
+            # plain filter over the pinned frontier: recomputing twice is
+            # cheaper than materializing.
+            batch = self._pin(batch)
 
-        fetched = self._fetch(batch)
+        # extraction is the CPU-dominant stage: spread it across the full
+        # cluster width explicitly — AQE coalesces the fetch-join output to
+        # ~64MB partitions, which on html-sized rows means a handful of
+        # tasks no matter how many cores exist (measured: scaling efficiency
+        # 0.25 before, because 70k-page extractions ran on 2 tasks)
+        fetched = self._fetch(batch).repartition(self._pin_parts)
         # extraction — one Arrow pass over the joined html column. Relative
         # hrefs resolve against the page's OWN url (p_url): the simulated
         # server serves norm-equivalent url forms for the same content, like
@@ -545,7 +569,8 @@ class Crawler:
             .otherwise(F.lit(STATUS_FAILED)).alias("status"),
             F.col("final_url_norm"), F.col("_was_redirected"), F.col("_ok"),
         )
-        upd = self._pin(upd)
+        # upd is a stateless projection over the pinned `fetched` — its few
+        # downstream re-evaluations are cheaper than a materialization job
 
         # terminal urls of recorded redirects become their own frontier rows
         # (the reference "dequeues" never-queued final urls, creating them —
@@ -574,17 +599,15 @@ class Crawler:
             ).join(
                 upd.select("url"), "url", "left_anti"
             )
-            host_udf = F.pandas_udf(
-                lambda s: s.map(_canonical_host_py), returnType=StringType()
-            )
+            host = canonical_host_col(F.col("url"))
             redirect_terminals = rt.select(
                 "url",
-                host_udf(F.col("url")).alias("host"),
+                host.alias("host"),
                 "depth", "discovery_seq",
                 F.lit(STATUS_DONE).alias("status"),
                 "attempts", "prev_http_status",
                 F.lit(k).alias("superstep"),
-                F.pmod(F.xxhash64(host_udf(F.col("url"))),
+                F.pmod(F.xxhash64(host),
                        F.lit(cfg.seen_partitions)).cast("int").alias("part_id"),
                 "job_id",
             )
@@ -604,10 +627,12 @@ class Crawler:
                 F.posexplode_outer("links").alias("ordinal", "url"),
             ).filter(F.col("url").isNotNull())
             cands = cands.filter(self._candidate_filter_expr())
-            host_udf = F.pandas_udf(
-                lambda s: s.map(_canonical_host_py), returnType=StringType()
+            # JVM-side host derivation — candidates are the highest-volume
+            # stream in the loop (pages × out-degree); a Python pass here
+            # would double the UDF cost of the whole superstep
+            cands = cands.withColumn(
+                "host", canonical_host_col(F.col("url"))
             )
-            cands = cands.withColumn("host", host_udf(F.col("url")))
             cands = P.apply_robots(cands, self.robots)
             cands = D.dedup_within_batch(cands)
             cands = cands.withColumn(
@@ -623,11 +648,12 @@ class Crawler:
                     cfg.bloom_num_bits,
                 )
             fresh = D.anti_join_seen(cands, seen, blooms)
-            fresh = with_global_seq(
+            fresh, n_new = with_global_seq(
                 fresh,
                 ["parent_depth", "parent_seq", "ordinal", "url"],
                 seq_col="discovery_seq",
                 start=self.next_seq,
+                return_count=True,
             )
             new_rows = fresh.select(
                 "url", "host",
@@ -640,7 +666,6 @@ class Crawler:
                 "part_id",
                 F.lit(cfg.job_id).alias("job_id"),
             )
-            n_new = new_rows.count()
             self.next_seq += n_new
             new_frontier = new_frontier.unionByName(new_rows)
 
