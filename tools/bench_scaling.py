@@ -52,7 +52,9 @@ from pyspark.sql import SparkSession
 cpus, n_urls = int(sys.argv[1]), int(sys.argv[2])
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName("walk_spark-scaling")
-         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+         # the JOB config is held constant across cluster sizes — only the
+         # executor count varies, as on a real cluster
+         .config("spark.sql.shuffle.partitions", "32")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "16g")
          .config("spark.ui.enabled", "false").getOrCreate())
@@ -60,13 +62,17 @@ spark.sparkContext.setLogLevel("ERROR")
 
 from walk_spark.config import CrawlConfig
 from walk_spark.plans.crawl import crawl
-from walk_spark.sources.pages import skewed_corpus
+from walk_spark.sources.pages import skewed_corpus, skewed_url
 
 n_hosts = 64
 pages = skewed_corpus(spark, n_urls=n_urls, n_hosts=n_hosts, out_degree=8,
-                      partitions=max(cpus, 8))
-pages = pages.localCheckpoint(eager=True)
-cfg = CrawlConfig(seeds=["http://host0.test/p/0.html"],
+                      partitions=32)
+# not materialized here: the Crawler disk-persists its prepped projection
+# (one copy of the corpus, not two); generation cost is identical per level
+# 1000 seeds: walk's real use case is a BIG seed list (readme.md:52, 30k+);
+# a single-seed BFS spends its first supersteps on tiny batches that no
+# cluster size can parallelize
+cfg = CrawlConfig(seeds=[skewed_url(i, n_hosts) for i in range(1000)],
                   domains=[f"http://host{{h}}.test" for h in range(n_hosts)],
                   record_redirects=False, seen_partitions=32)
 t0 = time.monotonic()

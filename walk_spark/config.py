@@ -44,6 +44,7 @@ class CrawlConfig:
     """
 
     seeds: list[str] = field(default_factory=list)
+    seeds_path: str = ""  # newline-delimited seed file (S1, lib/job.go:184-235)
     crawl: bool = True
     domains: list[str] = field(default_factory=list)
     ignore_patterns: list[str] = field(default_factory=list)
@@ -60,6 +61,9 @@ class CrawlConfig:
 
     # Spark scale machinery
     host_budget_per_superstep: int = 0  # 0 = unlimited (politeness off)
+    superstep_seconds: int = 0  # >0: derive host budget from delay_milli
+    #   (budget = superstep_seconds*1000 / delay_milli — the BSP reading of
+    #   fetchbot's CrawlDelay; ignored when host_budget_per_superstep is set)
     max_batch_size: int = 0  # 0 = unlimited
     seen_partitions: int = 8
     hot_host_threshold: int = 100_000
@@ -68,6 +72,23 @@ class CrawlConfig:
     bloom_num_bits: int = 8_388_608
     max_redirects: int = 10
     max_supersteps: int = 1000
+
+    def effective_host_budget(self) -> int:
+        """Per-host urls per superstep (0 = unlimited)."""
+        if self.host_budget_per_superstep > 0:
+            return self.host_budget_per_superstep
+        if self.superstep_seconds > 0 and self.delay_milli > 0:
+            return max(1, self.superstep_seconds * 1000 // self.delay_milli)
+        return 0
+
+    def all_seeds(self) -> list[str]:
+        """seeds ∪ lines of seeds_path (U2, lib/job.go:192-205) — raw
+        strings, blank lines dropped."""
+        out = list(self.seeds)
+        if self.seeds_path:
+            with open(self.seeds_path) as f:
+                out.extend(ln.strip() for ln in f if ln.strip())
+        return out
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2, sort_keys=True)

@@ -193,6 +193,31 @@ def surt(url: str) -> str:
     return key
 
 
+#: P9 — defined but never called in the reference (lib/resource.go:212-234;
+#: no call sites); exposed here as an optional candidate filter.
+_NON_PAGE_SCHEMES = frozenset({"data", "mailto", "ftp", "javascript", "tel"})
+_NON_HTML_EXTENSIONS = frozenset({
+    ".css", ".js", ".png", ".jpg", ".jpeg", ".gif", ".ico", ".svg",
+    ".pdf", ".zip", ".gz", ".mp3", ".mp4", ".avi", ".mov", ".woff",
+    ".woff2", ".ttf", ".xml", ".json", ".txt",
+})
+
+
+def is_webpage_url(url: str) -> bool:
+    """Heuristic 'is this a crawlable HTML page' predicate."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return False
+    if parts.scheme and parts.scheme.lower() in _NON_PAGE_SCHEMES:
+        return False
+    path = parts.path.lower()
+    dot = path.rfind(".")
+    if dot != -1 and path[dot:] in _NON_HTML_EXTENSIONS:
+        return False
+    return True
+
+
 def url_path(url: str) -> str:
     try:
         return urlsplit(url).path

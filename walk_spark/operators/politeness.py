@@ -32,21 +32,41 @@ from walk_spark.operators.frontier import ORDER_COLS
 _SALTS = 16
 
 
-def pick_budget_window(queued: DataFrame, budget: int) -> DataFrame:
-    """Select ≤ budget urls per canonical host, in canonical crawl order."""
+def pick_budget_window(queued: DataFrame, budget: int,
+                       budget_overrides: DataFrame | None = None) -> DataFrame:
+    """Select ≤ budget urls per canonical host, in canonical crawl order.
+
+    ``budget_overrides`` (host, budget) lowers individual hosts' budgets —
+    the backoff path (F12): overrides must be ≤ the default budget (they
+    only ever halve it), so the salted first phase can still prefilter with
+    the default.
+    """
     if budget <= 0:
         return queued
     order = [F.col(c) for c in ORDER_COLS]
     salt = F.pmod(F.xxhash64("url"), F.lit(_SALTS))
     w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
     w2 = Window.partitionBy("host").orderBy(*order)
-    return (
-        queued.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= budget)
+    d = queued
+    eff = F.lit(budget)
+    if budget_overrides is not None:
+        ov = F.broadcast(
+            budget_overrides.select(
+                F.col("host").alias("_bh"), F.col("budget").alias("_bb")
+            )
+        )
+        d = d.join(ov, d.host == ov._bh, "left")
+        eff = F.coalesce(F.col("_bb"), F.lit(budget))
+    out = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.lit(budget))
         .withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= budget)
+        .filter(F.col("_r2") <= eff)
         .drop("_r1", "_r2")
     )
+    if budget_overrides is not None:
+        out = out.drop("_bh", "_bb")
+    return out
 
 
 def pick_budget_pandas(queued: DataFrame, budget: int) -> DataFrame:

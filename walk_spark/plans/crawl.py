@@ -132,9 +132,12 @@ class Crawler:
         # the normalized join keys are computed ONCE: persist the prepped
         # corpus projection (url_norm + fetch columns) so each superstep's
         # fetch join doesn't re-run the normalization UDF over the corpus.
+        # DISK_ONLY: the projection carries the html bytes — caching it on
+        # heap next to shuffle buffers caused GC churn at high thread counts.
         # At warehouse scale this is a stored column on the Iceberg pages
         # table (write once, scan many), not a cache.
-        self.pages = self.pages.persist()
+        from pyspark import StorageLevel
+        self.pages = self.pages.persist(StorageLevel.DISK_ONLY)
         self._has_redirects: bool | None = None
         self._chains: DataFrame | None = None
         self._chain_hops: DataFrame | None = None
@@ -156,6 +159,11 @@ class Crawler:
         self._res_parts: list[DataFrame] = []
         self._order_parts: list[DataFrame] = []
         self._queued_count: int | None = None
+        #: hosts throttled next superstep (F12 backoff — lib/job.go:122-132;
+        #: the reference's slowdown side is commented out, we define the
+        #: canonical behavior: a host that returned a backoff code gets half
+        #: budget for the following superstep, recovering after one clean one)
+        self._backoff_hosts: DataFrame | None = None
 
     # -- preparation -------------------------------------------------------
 
@@ -210,7 +218,7 @@ class Crawler:
                 _canonical_host_py(u),
                 0, i, STATUS_QUEUED, 0, 0, 0, 0, self.cfg.job_id,
             )
-            for i, u in enumerate(self.cfg.seeds)
+            for i, u in enumerate(self.cfg.all_seeds())
         ]
         self.next_seq = len(rows)
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
@@ -234,7 +242,10 @@ class Crawler:
     # -- superstep stages ---------------------------------------------------
 
     def _pick_batch(self, queued: DataFrame) -> DataFrame:
-        b = P.pick_budget_window(queued, self.cfg.host_budget_per_superstep)
+        b = P.pick_budget_window(
+            queued, self.cfg.effective_host_budget(),
+            budget_overrides=self._backoff_hosts,
+        )
         return P.cap_batch(b, self.cfg.max_batch_size)
 
     def _redirect_chains(self) -> DataFrame | None:
@@ -367,12 +378,26 @@ class Crawler:
             ).withColumn(
                 "redirect_from", F.lit(None).cast("string")
             ).withColumn("_redirect_err", F.lit(None).cast("string"))
-        cur = b.join(
-            self.pages.drop("p_redir_norm"),
-            b.final_url_norm == self.pages.p_url_norm,
-            "left",
+        # content join, structured as INNER + miss-anti instead of LEFT
+        # OUTER: an outer join forces sort-merge with the corpus side sorted
+        # (html bytes!) every superstep — measured 4x slowdown at high
+        # parallelism from sort spills. Inner join lets Spark hash-build the
+        # small batch side (broadcast or shuffled-hash) and STREAM the
+        # corpus; misses are recovered with a batch-sized anti-join.
+        pages = self.pages.drop("p_redir_norm")
+        hits = b.join(
+            pages, b.final_url_norm == pages.p_url_norm, "inner"
         )
-        return cur
+        misses = b.join(
+            pages.select("p_url_norm"),
+            b.final_url_norm == pages.p_url_norm,
+            "left_anti",
+        )
+        for f in pages.schema.fields:
+            misses = misses.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+        return hits.unionByName(misses)
 
     def _candidate_filter_expr(self):
         """P7 (lib/job.go:250-271): reject ignore-pattern substrings; accept
@@ -399,7 +424,7 @@ class Crawler:
             self.frontier = self._pin(self._seed_frontier())
             self.resources = self.spark.createDataFrame([], RESOURCES_SCHEMA)
             self.order = self.spark.createDataFrame([], ORDER_SCHEMA)
-            self._queued_count = len(self.cfg.seeds)
+            self._queued_count = len(self.cfg.all_seeds())
 
     def add_seeds(self, seeds: list[str]) -> None:
         """Enqueue more seeds mid-crawl (the streaming-ingest path). Unlike
@@ -677,12 +702,30 @@ class Crawler:
                 F.lit(k).alias("superstep"), "depth", "discovery_seq", "url"
             )
         )
-        counts = {
-            r["status"]: r["n"]
-            for r in upd.groupBy("status").agg(F.count("*").alias("n")).collect()
-        }
+        backoff_flag = (
+            F.col("prev_http_status").isin(cfg.backoff_codes)
+            if cfg.backoff_codes else F.lit(False)
+        )
+        stat_rows = (
+            upd.groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 F.sum(backoff_flag.cast("int")).alias("nb"))
+            .collect()
+        )
+        counts = {r["status"]: r["n"] for r in stat_rows}
+        n_backoff = sum(r["nb"] or 0 for r in stat_rows)
         n_done = counts.get(STATUS_DONE, 0) + counts.get(STATUS_REDIRECTED, 0)
         self.total_done += n_done
+
+        # F12: throttle hosts that returned backoff codes, one superstep
+        budget = cfg.effective_host_budget()
+        if budget > 0 and n_backoff > 0:
+            self._backoff_hosts = self._pin(
+                upd.filter(backoff_flag).select("host").distinct()
+                .withColumn("budget", F.lit(max(1, budget // 2)))
+            )
+        else:
+            self._backoff_hosts = None
         m = {
             "superstep": k,
             "batch": sum(counts.values()),

@@ -191,6 +191,17 @@ def redirect_chain_pages(spark: SparkSession, host: str = "redir.test") -> DataF
 # bench-scale skewed corpus — generated distributed, never driver-resident
 # ---------------------------------------------------------------------------
 
+def skewed_host(i: int, n_hosts: int = 64, hot_host_share: int = 2) -> int:
+    """Host id of page ``i`` in the skewed corpus (host 0 is hot)."""
+    if i % hot_host_share == 0:
+        return 0
+    return 1 + (i * 2654435761 % (2**32)) % (n_hosts - 1)
+
+
+def skewed_url(i: int, n_hosts: int = 64, hot_host_share: int = 2) -> str:
+    """URL of page ``i`` in the skewed corpus — the seed-list helper."""
+    return f"http://host{skewed_host(i, n_hosts, hot_host_share)}.test/p/{i}.html"
+
 def skewed_corpus(
     spark: SparkSession,
     n_urls: int,
@@ -211,10 +222,10 @@ def skewed_corpus(
     K, N, H, S = out_degree, n_urls, n_hosts, hot_host_share
 
     def _host(i: int) -> int:
-        return 0 if i % S == 0 else 1 + (i * 2654435761 % (2**32)) % (H - 1)
+        return skewed_host(i, H, S)
 
     def _url(i: int) -> str:
-        return f"http://host{_host(i)}.test/p/{i}.html"
+        return skewed_url(i, H, S)
 
     gen_schema = StructType(
         [
