@@ -165,6 +165,25 @@ def test_timespan_and_clean(spark):
     assert kept.filter(F.col("url") == "http://self.test/a.html").count() == 0
 
 
+def test_get_capture(spark):
+    """Archive point lookup + redirect resolution (lib/walk.go:167-210,
+    api/collection_handlers.go:164-187)."""
+    from walk_spark.sources.pages import redirect_chain_pages
+    cfg = CrawlConfig(
+        seeds=["http://redir.test/r0"], domains=["http://redir.test"],
+        record_redirects=True,
+    )
+    r = crawl(spark, redirect_chain_pages(spark), cfg)
+    raw = Q.get_capture(r.resources, "http://redir.test/r0")
+    assert raw is not None and raw["redirect_to"] == "http://redir.test/r1"
+    resolved = Q.get_capture(
+        r.resources, "http://redir.test/r0", follow_redirects=True
+    )
+    assert resolved["url"] == "http://redir.test/final"
+    assert resolved["status"] == 200
+    assert Q.get_capture(r.resources, "http://nowhere.test/") is None
+
+
 def test_find_index(spark):
     cfg = CrawlConfig(seeds=["http://self.test"], domains=["http://self.test"])
     r = crawl(spark, self_linking_pages(spark), cfg)

@@ -119,6 +119,12 @@ def normalize_url(raw: str) -> str:
     # https://a.com:443 -> https://a.com -> http://a.com)
     if colon and port == _DEFAULT_PORTS.get(scheme, ""):
         colon, port = "", ""
+    # ...and AFTER force-http as well — deliberate deviation from purell,
+    # which leaves "https://h:80" as "http://h:80" (non-idempotent: a second
+    # pass strips the now-default port, fracturing seen-set keys). Found by
+    # hypothesis (tests/test_urlnorm_properties.py::test_idempotent).
+    if colon and scheme == "https" and port == _DEFAULT_PORTS["http"]:
+        colon, port = "", ""
 
     # remove directory index (purell: (^|/)(default|index).ext{1,4}$ -> $1)
     path = _RX_DIR_INDEX.sub(r"\1", path)

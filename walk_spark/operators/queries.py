@@ -16,9 +16,12 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
 
-from walk_spark.functions.urlnorm import normalize_url, surt_series
+from walk_spark.functions.urlnorm import (
+    normalize_url, normalize_url_series, surt_series,
+)
 
 _surt_udf = F.pandas_udf(surt_series, returnType=StringType())
+_norm_udf = F.pandas_udf(normalize_url_series, returnType=StringType())
 
 
 def inbound_links(resources: DataFrame, target_url: str) -> DataFrame:
@@ -72,6 +75,34 @@ def clean(entries: DataFrame, prefix: str) -> tuple[DataFrame, dict]:
     kept = entries.filter(~F.col("url").startswith(prefix))
     nk = kept.count()
     return kept, {"total": total, "removed": total - nk, "kept": nk}
+
+
+def get_capture(resources: DataFrame, url: str,
+                follow_redirects: bool = False,
+                max_hops: int = 20) -> dict | None:
+    """Point lookup of the latest capture of a url — the walk-archive
+    ``Get(url, time)`` / API raw-vs-resolved read (lib/walk.go:167-210,
+    api/collection_handlers.go:164-187: latest-timestamp argmax; the time
+    argument is effectively ignored there too). With ``follow_redirects``,
+    chase RedirectTo pointers up to 20 hops (the API resolution cap)."""
+    t = normalize_url(url)
+    keyed = resources.withColumn("_k", _norm_udf(F.col("url")))
+    for _ in range(max_hops):
+        row = (
+            keyed.filter(F.col("_k") == F.lit(t))
+            .orderBy(F.desc("warc_ts"), F.desc("superstep"))
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            return None
+        r = row[0].asDict()
+        if follow_redirects and r.get("redirect_to"):
+            t = normalize_url(r["redirect_to"])
+            continue
+        r.pop("_k", None)
+        return r
+    return None
 
 
 def find_index(ok_resources: DataFrame, url: str) -> int:
