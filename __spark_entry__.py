@@ -344,6 +344,30 @@ def _embedding_dups(spark, sf_dir):
     )
 
 
+def _graph_edges(spark, sf_dir):
+    # deterministic synthetic link graph from orders: customer -> order bucket
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("n"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("o_orderkey") % 50).cast("string"))
+        .alias("dst"),
+    )
+
+
+def _graph_degrees(spark, sf_dir):
+    from walk_spark.operators.graph import degrees
+    return degrees(_graph_edges(spark, sf_dir)).select(
+        "url",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    ).orderBy("url")
+
+
+def _graph_pagerank(spark, sf_dir):
+    from walk_spark.operators.graph import top_pages
+    return top_pages(_graph_edges(spark, sf_dir), k=10, iters=5)
+
+
 def _crawl_bfs(spark, sf_dir):
     pages = _pages_from_documents(spark, sf_dir)
     cfg = CrawlConfig(
@@ -383,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_dup_pairs": _embedding_dups,
+        "graph_degrees": _graph_degrees,
+        "graph_pagerank_topk": _graph_pagerank,
         "crawl_bfs_order": _crawl_bfs,
     }
 
@@ -547,8 +573,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id ASC
             LIMIT 10
         """,
+        "graph_degrees": """
+            WITH e AS (
+              SELECT 'n' || CAST(o_custkey AS VARCHAR) AS src,
+                     'n' || CAST(o_orderkey % 50 AS VARCHAR) AS dst
+              FROM orders),
+            o AS (SELECT src AS url, count(*) AS out_degree FROM e GROUP BY src),
+            i AS (SELECT dst AS url, count(*) AS in_degree FROM e GROUP BY dst)
+            SELECT coalesce(o.url, i.url) AS url,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree
+            FROM o FULL OUTER JOIN i ON o.url = i.url
+            ORDER BY url
+        """,
         # minhash_lsh_dedup / simhash_dedup / ann_lsh_topk /
-        # embedding_dup_pairs / crawl_bfs_order: deliberately no SQL oracle —
+        # embedding_dup_pairs / graph_pagerank_topk (iterative) /
+        # crawl_bfs_order: deliberately no SQL oracle —
         # hash-sketch and iterative-BFS ops aren't ANSI-SQL-expressible; the
         # driver records rows-only checks, and tests/test_dedup.py verifies
         # them against exact baselines instead.

@@ -103,6 +103,54 @@ def test_cap_batch(spark):
     assert sorted(r["discovery_seq"] for r in got) == list(range(7))
 
 
+def test_hot_host_salting_equivalence(spark):
+    """Salting hot hosts changes only the seen-set partition layout, never
+    the crawl result; the hot host's urls spread across partitions."""
+    n = 600
+    pages = skewed_corpus(spark, n_urls=n, n_hosts=8, out_degree=6)
+    base = dict(
+        seeds=["http://host0.test/p/0.html"],
+        domains=[f"http://host{h}.test" for h in range(8)],
+        record_redirects=False, seen_partitions=8,
+    )
+    plain = crawl(spark, pages, CrawlConfig(**base))
+    salted = crawl(
+        spark, pages,
+        CrawlConfig(**base, hot_hosts=["host0.test"]),
+    )
+    a = [(x["superstep"], x["discovery_seq"], x["url"]) for x in
+         plain.order.orderBy("superstep", "discovery_seq", "url").collect()]
+    b = [(x["superstep"], x["discovery_seq"], x["url"]) for x in
+         salted.order.orderBy("superstep", "discovery_seq", "url").collect()]
+    assert a == b  # identical crawl, different partitioning only
+    # hot host pinned one partition before; salted it spreads over all
+    hot_parts_plain = (
+        plain.frontier.filter(F.col("host") == "host0.test")
+        .select("part_id").distinct().count()
+    )
+    hot_parts_salted = (
+        salted.frontier.filter(F.col("host") == "host0.test")
+        .select("part_id").distinct().count()
+    )
+    assert hot_parts_plain == 1
+    assert hot_parts_salted >= 6
+
+
+def test_hot_host_autodetect(spark):
+    """hot_host_threshold derives the hot list from corpus page counts."""
+    from walk_spark.plans.crawl import Crawler
+    pages = skewed_corpus(spark, n_urls=400, n_hosts=8, out_degree=4)
+    c = Crawler(
+        spark, pages,
+        CrawlConfig(
+            seeds=["http://host0.test/p/0.html"],
+            domains=["http://host0.test"],
+            hot_host_threshold=100,  # host0 holds ~200 of 400 pages
+        ),
+    )
+    assert c._hot_hosts == ["host0.test"]
+
+
 @pytest.mark.slow
 def test_skewed_crawl_all_scale_paths(spark):
     """Full crawl of the skewed corpus with bloom + politeness + caps on:

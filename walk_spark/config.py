@@ -66,7 +66,16 @@ class CrawlConfig:
     #   fetchbot's CrawlDelay; ignored when host_budget_per_superstep is set)
     max_batch_size: int = 0  # 0 = unlimited
     seen_partitions: int = 8
-    hot_host_threshold: int = 100_000
+    #: hosts whose urls are salted by full-url hash instead of host hash in
+    #: the seen-set partitioning (north rule "salt hot hosts"): a host
+    #: holding ~50% of a 10^10-url frontier would otherwise pin one
+    #: partition. Must be a STABLE list (part_id is a pure function of url;
+    #: flipping a host mid-crawl would orphan its seen entries) — operators
+    #: derive it from corpus stats before the run, or set hot_host_threshold
+    #: to auto-detect from the seed corpus at crawl start.
+    hot_hosts: list[str] = field(default_factory=list)
+    hot_host_threshold: int = 0  # >0: hosts with more corpus pages than
+    #   this are auto-added to hot_hosts at Crawler init (one groupBy)
     use_bloom: bool = False
     bloom_expected_items: int = 1_000_000
     bloom_num_bits: int = 8_388_608

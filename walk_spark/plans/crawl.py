@@ -143,6 +143,11 @@ class Crawler:
         self._chain_hops: DataFrame | None = None
         self._hop_rows: DataFrame | None = None
         self._domains = [self._parse_domain(d) for d in cfg.domains]
+        self._hot_hosts: list[str] = sorted(cfg.hot_hosts)
+        if cfg.hot_host_threshold > 0:
+            self._hot_hosts = sorted(
+                set(self._hot_hosts) | set(self._detect_hot_hosts())
+            )
         self.metrics: list[dict] = []
         self.next_seq = 0
         self.superstep = 0
@@ -223,11 +228,35 @@ class Crawler:
         self.next_seq = len(rows)
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
         return df.withColumn(
-            "part_id",
-            F.pmod(F.xxhash64("host"), F.lit(self.cfg.seen_partitions)).cast(
-                "int"
-            ),
+            "part_id", self._part_id_col(F.col("host"), F.col("url"))
         )
+
+    def _detect_hot_hosts(self) -> list[str]:
+        """Auto-detect hot hosts from corpus page counts (one groupBy at
+        init; the list is then FIXED for the crawl so part_id stays a pure
+        function of url)."""
+        host_col = canonical_host_col(F.col("p_url"))
+        rows = (
+            self.pages.groupBy(host_col.alias("h"))
+            .count()
+            .filter(F.col("count") > self.cfg.hot_host_threshold)
+            .collect()
+        )
+        return sorted(r["h"] for r in rows)
+
+    def _part_id_col(self, host, url):
+        """Salted seen-set partition id (north rule): host-hash normally,
+        url-hash for hot hosts so one giant host can't pin a partition.
+        Pure function of (host, url) given the fixed hot-host list —
+        consistent across supersteps, resume, and cluster sizes."""
+        P = F.lit(self.cfg.seen_partitions)
+        by_host = F.pmod(F.xxhash64(host), P)
+        if not self._hot_hosts:
+            return by_host.cast("int")
+        by_url = F.pmod(F.xxhash64(url), P)
+        return (
+            F.when(host.isin(self._hot_hosts), by_url).otherwise(by_host)
+        ).cast("int")
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """coalesce + localCheckpoint: cut lineage AND bound the partition
@@ -441,9 +470,7 @@ class Crawler:
         if not rows:
             return
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA).withColumn(
-            "part_id",
-            F.pmod(F.xxhash64("host"),
-                   F.lit(self.cfg.seen_partitions)).cast("int"),
+            "part_id", self._part_id_col(F.col("host"), F.col("url"))
         )
         fresh = df.join(self.frontier.select("url"), "url", "left_anti")
         n = fresh.count()
@@ -632,8 +659,7 @@ class Crawler:
                 F.lit(STATUS_DONE).alias("status"),
                 "attempts", "prev_http_status",
                 F.lit(k).alias("superstep"),
-                F.pmod(F.xxhash64(host),
-                       F.lit(cfg.seen_partitions)).cast("int").alias("part_id"),
+                self._part_id_col(host, F.col("url")).alias("part_id"),
                 "job_id",
             )
 
@@ -661,9 +687,7 @@ class Crawler:
             cands = P.apply_robots(cands, self.robots)
             cands = D.dedup_within_batch(cands)
             cands = cands.withColumn(
-                "part_id",
-                F.pmod(F.xxhash64("host"),
-                       F.lit(cfg.seen_partitions)).cast("int"),
+                "part_id", self._part_id_col(F.col("host"), F.col("url"))
             )
             seen = new_frontier.select("part_id", "url")
             blooms = None
