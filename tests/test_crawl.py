@@ -189,3 +189,47 @@ def test_politeness_budget_same_visit_set(spark):
     # budget respected per superstep
     per = r2.order.groupBy("superstep").count().collect()
     assert all(x["count"] <= 3 for x in per)
+
+
+def test_duplicate_normalized_corpus_urls_fetch_once(spark):
+    """Two corpus rows normalizing to the same url (e.g. with/without
+    default port) must not fan out the fetch join: latest capture wins,
+    metrics count each url once, the crawl still terminates cleanly."""
+    import datetime as dt
+    from walk_spark.sources.pages import PAGES_SCHEMA, _page_html
+    ts = dt.datetime(2000, 1, 1)
+    mk = lambda url, sec, title: (
+        url, ts + dt.timedelta(seconds=sec),
+        _page_html(title, [("a.html", "a")], [title]),
+        None, "en", 200, "text/html; charset=utf-8", None,
+    )
+    rows = [
+        mk("http://dup.test/", 0, "old"),
+        mk("http://dup.test:80/", 5, "new"),   # same normalized url, later
+        mk("http://dup.test/a.html", 1, "a"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    cfg = CrawlConfig(seeds=["http://dup.test/"], domains=["http://dup.test"],
+                      record_redirects=False)
+    r = crawl(spark, pages, cfg)
+    root = [x for x in r.resources.collect() if x["url"] == "http://dup.test/"]
+    assert len(root) == 1
+    assert root[0]["title"] == "new"          # latest warc_ts won
+    assert sum(m["batch"] for m in r.metrics) == r.order.count()
+
+
+def test_add_seeds_in_batch_duplicates_idempotent(spark):
+    """A micro-batch carrying duplicate urls enqueues one frontier row."""
+    from walk_spark.plans.crawl import Crawler
+    pages = self_linking_pages(spark)
+    cfg = CrawlConfig(seeds=["http://self.test"],
+                      domains=["http://self.test"], crawl=False)
+    c = Crawler(spark, pages, cfg)
+    c.add_seeds(["http://self.test/a.html", "http://self.test/a.html",
+                 "http://self.test/b.html"])
+    front = c.frontier.filter(F.col("status") == "queued").collect()
+    urls = sorted(x["url"] for x in front)
+    assert urls == ["http://self.test", "http://self.test/a.html",
+                    "http://self.test/b.html"]
+    r = c.run()
+    assert sum(m["batch"] for m in r.metrics) == 3

@@ -106,3 +106,33 @@ def test_simhash_blocking_is_complete(spark):
         if a < b and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
     }
     assert {(r["id_a"], r["id_b"]) for r in got.collect()} == expect
+
+
+def test_minhash_dropped_bucket_report(spark):
+    """No silent caps: oversized buckets are counted in the report."""
+    from walk_spark.operators.dedup_text import minhash_lsh_pairs
+    # 40 identical docs -> every band bucket holds all 40 rows
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    report: dict = {}
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10,
+                              report=report)
+    assert pairs.count() == 0            # every bucket was over the cap
+    assert report["dropped_buckets"] > 0
+    assert report["dropped_rows"] >= 40
+
+
+def test_simhash_dropped_bucket_report(spark):
+    from walk_spark.operators.dedup_text import simhash_pairs
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    report: dict = {}
+    pairs = simhash_pairs(docs, max_hamming=3, max_bucket_size=10,
+                          report=report)
+    assert pairs.count() == 0
+    assert report["dropped_buckets"] == 4  # all 4 bands over the cap
+    assert report["dropped_rows"] == 160

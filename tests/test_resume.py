@@ -60,3 +60,43 @@ def test_resume_of_finished_crawl_is_noop(spark):
     r2 = c2.run()
     assert len(r2.metrics) == n_metrics  # no extra supersteps ran
     assert r2.frontier.filter(F.col("status") == "queued").count() == 0
+
+
+def test_resume_restores_backoff_throttle(spark):
+    """F12 state survives resume: a host that returned backoff codes gets
+    the SAME halved budget after restart — batch picks stay identical."""
+    import datetime as dt
+    from walk_spark.sources.pages import PAGES_SCHEMA, _page_html
+    ts = dt.datetime(2000, 1, 1)
+    hrefs = [(f"/p{i}.html", f"p{i}") for i in range(6)]
+    rows = [("http://b.test/", ts, _page_html("root", hrefs, ["root"]),
+             None, "en", 429, "text/html; charset=utf-8", None)]
+    for i in range(6):
+        rows.append((f"http://b.test/p{i}.html", ts,
+                     _page_html(f"p{i}", [], [f"page {i}"]),
+                     None, "en", 200, "text/html; charset=utf-8", None))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    def cfg():
+        return CrawlConfig(
+            seeds=["http://b.test/"], domains=["http://b.test"],
+            host_budget_per_superstep=4, max_attempts=1,
+            record_redirects=False,
+        )
+
+    # straight-through run
+    full = crawl(spark, pages, cfg())
+    # killed-after-superstep-1 run (the backoff superstep), then resume
+    wd = tempfile.mkdtemp()
+    c1 = Crawler(spark, pages, cfg(), workdir=wd)
+    c1.cfg.max_supersteps = 1
+    c1.run()
+    assert c1._backoff_hosts is not None  # 429 triggered the throttle
+    c2 = Crawler.resume(spark, pages, cfg(), wd)
+    assert c2._backoff_hosts is not None  # restored from the manifest
+    r2 = c2.run()
+    a = [(m["superstep"], m["batch"]) for m in full.metrics]
+    b = [(m["superstep"], m["batch"]) for m in r2.metrics]
+    assert a == b
+    # the superstep after the 429 is budget-halved: ≤ 2 urls of b.test
+    assert full.metrics[1]["batch"] <= 2

@@ -178,3 +178,44 @@ def test_skewed_crawl_all_scale_paths(spark):
         .groupBy("superstep", "host").count().collect()
     )
     assert all(x["count"] <= 200 for x in per_host)
+
+
+def test_bloom_misaligned_num_bits_equivalence(spark):
+    """Regression: num_bits not a multiple of 8 must still probe with the
+    build-side modulus (byte-aligned up front) — no false negatives."""
+    seen = spark.range(0, 3000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".test/x/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 4).cast("int").alias("part_id"),
+    )
+    cands = spark.range(0, 6000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".test/x/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 4).cast("int").alias("part_id"),
+    )
+    blooms = D.build_bloom_partitions(seen, expected_items=1000,
+                                      num_bits=65537)  # deliberately odd
+    got = {r["url"] for r in D.anti_join_seen(cands, seen, blooms).collect()}
+    exact = {r["url"] for r in D.anti_join_seen(cands, seen).collect()}
+    assert got == exact
+    assert len(exact) == 3000
+
+
+def test_bloom_incremental_merge(spark):
+    """merge_bloom_partitions(old, delta) ≡ build over the union."""
+    a = spark.range(0, 1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 4).cast("int").alias("part_id"),
+    )
+    b = spark.range(1000, 2000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 4).cast("int").alias("part_id"),
+    )
+    merged = D.merge_bloom_partitions(
+        D.build_bloom_partitions(a, 1000, 32768),
+        D.build_bloom_partitions(b, 1000, 32768),
+    )
+    full = D.build_bloom_partitions(a.unionByName(b), 1000, 32768)
+    m = {r["part_id"]: r["bf"] for r in merged.collect()}
+    f = {r["part_id"]: r["bf"] for r in full.collect()}
+    assert m == f

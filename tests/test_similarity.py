@@ -83,3 +83,18 @@ def test_embedding_dup_pairs_finds_injected_dups(emb):
     assert expect <= got
     # random non-dup vectors at 16 dims rarely hit 0.99 — allow none
     assert got - expect == set()
+
+
+def test_embedding_dup_report_and_cap(spark):
+    """No silent caps: identical vectors exceeding max_bucket_size are
+    dropped with counted evidence in the report."""
+    rows = [(i, [1.0] * 8) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    report: dict = {}
+    pairs = SIM.embedding_dup_pairs(
+        df, threshold=0.99, dim=8, bits=4, bands=4,
+        max_bucket_size=10, report=report,
+    )
+    assert pairs.count() == 0
+    assert report["dropped_buckets"] == 4
+    assert report["dropped_rows"] == 120

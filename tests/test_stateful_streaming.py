@@ -94,3 +94,39 @@ def test_budget_gate(spark):
     assert sum(by_host["h1.test"]) == 3  # budget respected
     assert len(by_host["h1.test"]) == 5  # deferred rows still emitted
     assert by_host["h2.test"] == [1]
+
+
+def test_budget_gate_carries_unused_tokens(spark):
+    """Token-bucket carry: a host under budget in micro-batch 1 banks the
+    unused tokens (up to burst) and admits MORE than `budget` in batch 2 —
+    the cross-batch state is observable, not a plain per-batch cap."""
+    tmp = tempfile.mkdtemp()
+    schema = "host string, url string"
+    b1 = [("h1.test", "http://h1.test/0")]                      # 1 of budget 3
+    b2 = [("h1.test", f"http://h1.test/{i}") for i in range(1, 6)]  # 5 more
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(tmp, "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        os.path.join(tmp, "f2"))
+    import glob, shutil
+    dest = os.path.join(tmp, "stream")
+    os.makedirs(dest)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "f*/*.parquet")))):
+        shutil.copy(f, os.path.join(dest, f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    q = (
+        host_budget_gate(stream, budget=3)  # burst defaults to 6
+        .writeStream.format("memory").queryName("t_gate_carry")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select url, admitted from t_gate_carry order by url"
+    ).collect()
+    admitted = {r["url"]: r["admitted"] for r in got}
+    # batch 1: 1 admitted, tokens 3-1+3=5; batch 2: all 5 admitted (> budget)
+    assert sum(admitted.values()) == 6
+    assert len(admitted) == 6

@@ -190,3 +190,17 @@ def test_find_index(spark):
     pos = Q.find_index(r.ok_resources(), "http://self.test/a.html")
     assert 0 <= pos < 4
     assert Q.find_index(r.ok_resources(), "http://nowhere.test/") == -1
+
+
+def test_collection_latest_tie_is_one_whole_row(spark):
+    """Two walks tie on (warc_ts, superstep) for the same url: the winner
+    must be ONE row (the later-listed walk), never a column mix."""
+    import datetime as dt
+    ts = dt.datetime(2000, 1, 1)
+    schema = "url string, warc_ts timestamp, superstep int, title string, hash string"
+    w1 = spark.createDataFrame([("http://a/", ts, 1, "t1", "h1")], schema)
+    w2 = spark.createDataFrame([("http://a/", ts, 1, "t2", "h2")], schema)
+    row = Q.collection_latest(w1, w2).first()
+    assert (row["title"], row["hash"]) == ("t2", "h2")
+    row = Q.collection_latest(w2, w1).first()
+    assert (row["title"], row["hash"]) == ("t1", "h1")

@@ -81,6 +81,13 @@ class CrawlConfig:
     bloom_num_bits: int = 8_388_608
     max_redirects: int = 10
     max_supersteps: int = 1000
+    #: dedup the pages corpus on its NORMALIZED url at prep time (latest
+    #: warc_ts wins). Two raw urls that canonicalize identically would
+    #: otherwise each match the fetch join, inflating batch counts and
+    #: corrupting the incremental queued tracking. Set False only when the
+    #: corpus generator guarantees normalized-url uniqueness (the synthetic
+    #: benches do) — it skips one full-corpus shuffle at crawl start.
+    dedup_pages: bool = True
 
     def effective_host_budget(self) -> int:
         """Per-host urls per superstep (0 = unlimited)."""

@@ -18,12 +18,12 @@ Iceberg seen table, and co-partitioned when the frontier is bucketed.
 Bloom implementation note: Spark's ``bloom_filter_agg``/``might_contain``
 expressions are internal-only (used by runtime join filters, not registered
 as public SQL functions in Spark 4), so the per-partition filters are numpy
-bitsets built with ``applyInPandas`` and probed inside an Arrow UDF. Each
-partition's filter is sized for items/P. In this sandbox the filter map
-travels to probes as a task-closure broadcast; on a cluster the same
-(part_id, bitset) rows live in a table and the probe is a cogrouped
-``applyInPandas`` — the construction/probe kernels below are shared by both
-deployments.
+bitsets built with ``applyInPandas`` over the seen rows and probed with a
+cogrouped ``applyInPandas`` on ``part_id``: each task sees ONE partition's
+candidates plus that partition's single bitset row — no driver collect, no
+broadcast of gigabytes of filters, probes hash the whole Arrow batch in one
+vectorized pass. The (part_id, bf) rows are an ordinary DataFrame; at
+warehouse scale they live in a table rebuilt incrementally per partition.
 """
 
 from __future__ import annotations
@@ -33,7 +33,6 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BooleanType
 
 
 def dedup_within_batch(candidates: DataFrame) -> DataFrame:
@@ -67,16 +66,37 @@ def dedup_within_batch(candidates: DataFrame) -> DataFrame:
 _N_HASHES = 7
 
 
-def _url_hashes(urls: pd.Series, num_bits: int) -> np.ndarray:
-    """(n, _N_HASHES) bit positions via double hashing of a stable digest."""
-    h1 = np.empty(len(urls), dtype=np.uint64)
-    h2 = np.empty(len(urls), dtype=np.uint64)
+def _url_hashes(urls, num_bits: int) -> np.ndarray:
+    """(n, _N_HASHES) bit positions via double hashing of a stable digest.
+    One call hashes a whole Arrow batch; callers never invoke per-row."""
+    n = len(urls)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
     for i, u in enumerate(urls):
         d = hashlib.blake2b((u or "").encode("utf-8"), digest_size=16).digest()
         h1[i] = int.from_bytes(d[:8], "little")
         h2[i] = int.from_bytes(d[8:], "little") | 1
     ks = np.arange(_N_HASHES, dtype=np.uint64)
     return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(num_bits)
+
+
+def _aligned_bits(num_bits: int) -> int:
+    """Byte-aligned filter size: build allocates nb//8 bytes and the probe
+    recomputes nb as len(bytes)*8 — rounding up front keeps both moduli
+    identical (a misaligned nb would shift probe positions → false
+    negatives → seen urls re-enqueued)."""
+    nb = max(int(num_bits), 1024)
+    return (nb + 7) // 8 * 8
+
+
+def _probe_bits(bits: np.ndarray, urls) -> np.ndarray:
+    """Vectorized membership test of a url batch against one bitset."""
+    nb = len(bits) * 8
+    pos = _url_hashes(urls, nb)  # (n, k)
+    hit = bits[pos >> np.uint64(3)] & (
+        np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+    )
+    return (hit != 0).all(axis=1)
 
 
 def build_bloom_partitions(
@@ -88,12 +108,13 @@ def build_bloom_partitions(
 
     The per-partition split keeps each filter's fpp low even at 10^10 urls
     total (items/partition = total/P) and lets filters be rebuilt
-    incrementally per partition as the crawl grows.
+    incrementally per partition as the crawl grows (see
+    ``merge_bloom_partitions``).
     """
-    nb = max(int(num_bits), 1024)
+    nb = _aligned_bits(num_bits)
 
     def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(nb // 8 + 1, dtype=np.uint8)
+        bits = np.zeros(nb // 8, dtype=np.uint8)
         pos = _url_hashes(pdf["url"], nb).ravel()
         np.bitwise_or.at(bits, pos >> np.uint64(3),
                          np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
@@ -108,6 +129,25 @@ def build_bloom_partitions(
     )
 
 
+def merge_bloom_partitions(existing: DataFrame, added: DataFrame) -> DataFrame:
+    """OR two (part_id, bf) filter tables — the incremental-build path: per
+    superstep only the NEW frontier rows are hashed (build over the delta),
+    then merged into the standing filters. Cost ∝ new urls, not total seen."""
+
+    def _or(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        bufs = list(a["bf"]) + list(b["bf"])
+        acc = np.frombuffer(bufs[0], dtype=np.uint8).copy()
+        for buf in bufs[1:]:
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        return pd.DataFrame({"part_id": [int(key[0])], "bf": [acc.tobytes()]})
+
+    return (
+        existing.groupBy("part_id")
+        .cogroup(added.groupBy("part_id"))
+        .applyInPandas(_or, schema="part_id int, bf binary")
+    )
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -115,39 +155,40 @@ def anti_join_seen(
 ) -> DataFrame:
     """D2: candidates not present in the seen set (exact url-string match).
 
-    With ``blooms``: candidates whose partition bloom says "definitely new"
-    skip the exact anti-join entirely; "maybe seen" candidates are confirmed
-    by the (part_id, url) anti-join. Identical output either way.
+    With ``blooms`` (part_id, bf): a cogrouped ``applyInPandas`` on part_id
+    pairs each candidate partition with its single filter row; candidates
+    whose bloom says "definitely new" skip the exact anti-join entirely,
+    "maybe seen" candidates are confirmed by the (part_id, url) anti-join.
+    Bloom false-positives are corrected by the exact join, so the output is
+    identical with the prefilter on or off. No filter ever touches the
+    driver; an absent part_id row means that partition has no seen urls, so
+    its candidates are definitely new.
     """
     if blooms is None:
         return candidates.join(
             seen.select("part_id", "url"), ["part_id", "url"], "left_anti"
         )
-    bf_map = {r["part_id"]: r["bf"] for r in blooms.collect()}
-    spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(bf_map)
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+    cols = list(candidates.columns)
 
-    def _might_contain(urls: pd.Series, parts: pd.Series) -> pd.Series:
-        out = np.zeros(len(urls), dtype=bool)
-        m = bc.value
-        for i, (u, p) in enumerate(zip(urls, parts)):
-            bf = m.get(int(p))
-            if bf is None:
-                continue
-            bits = np.frombuffer(bf, dtype=np.uint8)
-            nb = (len(bits) - 1) * 8
-            pos = _url_hashes(pd.Series([u]), nb).ravel()
-            out[i] = bool(
-                np.all(bits[pos >> np.uint64(3)]
-                       & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
-            )
-        return pd.Series(out)
+    def _probe(key, cand: pd.DataFrame, bf_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return cand.assign(_maybe=pd.Series([], dtype=bool))
+        if bf_pdf.empty:
+            return cand.assign(_maybe=False)
+        bits = np.frombuffer(bf_pdf["bf"].iloc[0], dtype=np.uint8)
+        return cand.assign(_maybe=_probe_bits(bits, cand["url"]))
 
-    mc = F.pandas_udf(_might_contain, returnType=BooleanType())
-    c = candidates.withColumn("_maybe", mc(F.col("url"), F.col("part_id")))
+    c = (
+        candidates.groupBy("part_id")
+        .cogroup(blooms.groupBy("part_id"))
+        .applyInPandas(_probe, schema=f"{out_fields}, _maybe boolean")
+    )
     definitely_new = c.filter(~F.col("_maybe")).drop("_maybe")
     confirmed_new = (
         c.filter(F.col("_maybe")).drop("_maybe")
         .join(seen.select("part_id", "url"), ["part_id", "url"], "left_anti")
     )
-    return definitely_new.unionByName(confirmed_new)
+    return definitely_new.unionByName(confirmed_new).select(*cols)

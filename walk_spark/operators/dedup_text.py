@@ -164,17 +164,25 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 128,
                       bands: int = 32, shingle_n: int = 3,
                       id_col: str = "doc_id", text_col: str = "text",
                       max_bucket_size: int = 5000,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      report: dict | None = None) -> DataFrame:
     """Near-duplicate candidate pairs with estimated jaccard ≥ threshold.
 
     sig -> split into ``bands`` bands of k/bands rows -> hash each band ->
     explode to (band, bucket) keys -> self-join within buckets -> estimate
-    jaccard as matching-minhash fraction -> threshold. Oversized buckets
-    (boilerplate) are dropped with a count, not silently.
+    jaccard as matching-minhash fraction -> threshold.
+
+    No silent caps: buckets larger than ``max_bucket_size`` (boilerplate
+    pages — quadratic inside the bucket) are dropped, and passing
+    ``report={}`` fills ``dropped_buckets``/``dropped_rows`` with the drop
+    counts (costs one extra aggregation job; the signature pass is pinned so
+    the UDF doesn't run twice).
     """
     rows = k // bands
     sigs = minhash_signatures(docs, k=k, shingle_n=shingle_n,
                               id_col=id_col, text_col=text_col, seed=seed)
+    if report is not None:
+        sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id", "sig",
         F.posexplode(
@@ -192,9 +200,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 128,
             )
         ).alias("band", "bucket"),
     )
-    # cap pathological buckets (report, don't silently truncate — callers
-    # read dropped_buckets from the returned DataFrame's sibling metric)
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    if report is not None:
+        drop = sizes.filter(F.col("bsz") > max_bucket_size).agg(
+            F.count("*").alias("nb"),
+            F.coalesce(F.sum("bsz"), F.lit(0)).alias("nr"),
+        ).first()
+        report["dropped_buckets"] = int(drop["nb"])
+        report["dropped_rows"] = int(drop["nr"])
     banded = banded.join(
         sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
     )
@@ -268,11 +281,19 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_bucket_size: int = 5000,
+                  report: dict | None = None) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole blocking:
     split 64 bits into 4 16-bit bands — any pair within distance 3 shares at
-    least one exact band (4 > 3). Join per band, verify with bit_count."""
+    least one exact band (4 > 3). Join per band, verify with bit_count.
+
+    Band buckets larger than ``max_bucket_size`` (a boilerplate band value
+    shared by millions of pages goes quadratic) are dropped; pass
+    ``report={}`` to receive ``dropped_buckets``/``dropped_rows``."""
     sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    if report is not None:
+        sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id", "simhash",
         F.posexplode(
@@ -284,6 +305,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                 ]
             )
         ).alias("band", "key"),
+    )
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("bsz"))
+    if report is not None:
+        drop = sizes.filter(F.col("bsz") > max_bucket_size).agg(
+            F.count("*").alias("nb"),
+            F.coalesce(F.sum("bsz"), F.lit(0)).alias("nr"),
+        ).first()
+        report["dropped_buckets"] = int(drop["nb"])
+        report["dropped_rows"] = int(drop["nr"])
+    banded = banded.join(
+        sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "key"]
     )
     l = banded.select("band", "key", F.col("doc_id").alias("id_a"),
                       F.col("simhash").alias("h_a"))

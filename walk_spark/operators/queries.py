@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
-from pyspark.sql.window import Window
 
 from walk_spark.functions.urlnorm import (
     normalize_url, normalize_url_series, surt_series,
@@ -49,15 +48,23 @@ def link_edges(resources: DataFrame) -> DataFrame:
 def collection_latest(*walks: DataFrame) -> DataFrame:
     """Union member walks, keep the latest resource per url by timestamp
     (lib/collection.go:75-92 — argmax, the time argument is ignored there).
-    max_by avoids a window sort; ties broken deterministically by url."""
-    u = walks[0]
-    for w in walks[1:]:
+    max_by of ONE whole-row struct (never per-column — per-column argmax can
+    mix columns from different rows on ties); the arrival key carries the
+    walk ordinal so cross-walk ties resolve deterministically to the
+    latest-listed walk. Within one walk (url, warc_ts, superstep) is unique
+    (one fetch row per url per superstep), so the key is total."""
+    tagged = [
+        w.withColumn("_walk_ord", F.lit(i)) for i, w in enumerate(walks)
+    ]
+    u = tagged[0]
+    for w in tagged[1:]:
         u = u.unionByName(w, allowMissingColumns=True)
-    arrival = F.struct("warc_ts", "superstep")
-    cols = [c for c in u.columns if c != "url"]
+    arrival = F.struct("warc_ts", "superstep", "_walk_ord")
+    cols = [c for c in u.columns if c not in ("url", "_walk_ord")]
     return (
         u.groupBy("url")
-        .agg(*[F.max_by(c, arrival).alias(c) for c in cols])
+        .agg(F.max_by(F.struct(*cols), arrival).alias("_row"))
+        .select("url", *[F.col(f"_row.{c}").alias(c) for c in cols])
     )
 
 
@@ -70,54 +77,100 @@ def timespan(resources: DataFrame) -> DataFrame:
 
 def clean(entries: DataFrame, prefix: str) -> tuple[DataFrame, dict]:
     """Drop sitemap entries whose url starts with ``prefix``; report
-    total/removed/kept counts (cmd/clean.go:39-95)."""
-    total = entries.count()
+    total/removed/kept counts (cmd/clean.go:39-95) from ONE aggregation."""
     kept = entries.filter(~F.col("url").startswith(prefix))
-    nk = kept.count()
-    return kept, {"total": total, "removed": total - nk, "kept": nk}
+    row = entries.agg(
+        F.count("*").alias("t"),
+        F.coalesce(
+            F.sum(F.col("url").startswith(prefix).cast("long")), F.lit(0)
+        ).alias("r"),
+    ).first()
+    total, removed = int(row["t"]), int(row["r"])
+    return kept, {"total": total, "removed": removed, "kept": total - removed}
+
+
+def build_capture_index(resources: DataFrame) -> DataFrame:
+    """Normalized-key lookup table for ``get_capture``: compute the key ONCE
+    over a narrow meta projection and pin it, so point lookups (and every
+    redirect hop) scan a compact in-memory table instead of re-running the
+    normalization UDF over the full resources table per hop. At warehouse
+    scale this is a stored ``_k`` column on the resources table, partitioned
+    by bucket(_k) — the lookup filter partition-prunes."""
+    keyed = resources.drop("text", "links", "html").withColumn(
+        "_k", _norm_udf(F.col("url"))
+    )
+    parts = max(resources.sparkSession.sparkContext.defaultParallelism, 1)
+    return keyed.coalesce(parts).localCheckpoint(eager=True)
 
 
 def get_capture(resources: DataFrame, url: str,
                 follow_redirects: bool = False,
-                max_hops: int = 20) -> dict | None:
+                max_hops: int = 20,
+                capture_index: DataFrame | None = None) -> dict | None:
     """Point lookup of the latest capture of a url — the walk-archive
     ``Get(url, time)`` / API raw-vs-resolved read (lib/walk.go:167-210,
     api/collection_handlers.go:164-187: latest-timestamp argmax; the time
     argument is effectively ignored there too). With ``follow_redirects``,
-    chase RedirectTo pointers up to 20 hops (the API resolution cap)."""
+    chase RedirectTo pointers up to 20 hops (the API resolution cap).
+
+    Pass ``capture_index`` (from ``build_capture_index``) when issuing many
+    lookups; otherwise one is built for the call. Each hop is a
+    filter + max_by aggregation over the pinned narrow index — no per-hop
+    re-normalization, no full-row sort. The full row (text/links) is joined
+    back only for the terminal hop."""
     t = normalize_url(url)
-    keyed = resources.withColumn("_k", _norm_udf(F.col("url")))
+    keyed = capture_index if capture_index is not None \
+        else build_capture_index(resources)
+    meta_cols = [c for c in keyed.columns if c != "_k"]
+    pick = F.max_by(F.struct(*meta_cols), F.struct("warc_ts", "superstep"))
     for _ in range(max_hops):
         row = (
-            keyed.filter(F.col("_k") == F.lit(t))
-            .orderBy(F.desc("warc_ts"), F.desc("superstep"))
-            .limit(1)
-            .collect()
+            keyed.filter(F.col("_k") == F.lit(t)).agg(pick.alias("_r"))
+            .select("_r.*").first()
         )
-        if not row:
+        if row is None or row["url"] is None:
             return None
-        r = row[0].asDict()
+        r = row.asDict()
         if follow_redirects and r.get("redirect_to"):
             t = normalize_url(r["redirect_to"])
             continue
-        r.pop("_k", None)
+        if "text" in resources.columns or "links" in resources.columns:
+            full = (
+                resources.filter(
+                    (F.col("url") == F.lit(r["url"]))
+                    & (F.col("superstep") == F.lit(r["superstep"]))
+                    & (F.col("warc_ts").eqNullSafe(F.lit(r["warc_ts"])))
+                ).limit(1).collect()
+            )
+            if full:
+                return full[0].asDict()
         return r
     return None
 
 
 def find_index(ok_resources: DataFrame, url: str) -> int:
     """Position of url in the SURT-sorted index (lib/walk.go:112-128 does a
-    linear scan; here a rank over the sort order)."""
+    linear scan). Computed as a count-below-key: find the target's
+    (surt_url, warc_ts, url) key (one small argmin job), then count rows
+    strictly before it — fully parallel aggregations, no single-partition
+    global window."""
     t = normalize_url(url)
-    w = Window.orderBy("surt_url", "warc_ts")
-    d = (
-        ok_resources.select(
-            _surt_udf(F.col("url")).alias("surt_url"), "warc_ts", "url"
-        )
-        .withColumn("pos", F.row_number().over(w) - 1)
-        .filter(F.col("url") == F.lit(t))
-        .select("pos")
-        .limit(1)
-        .collect()
+    d = ok_resources.select(
+        _surt_udf(F.col("url")).alias("surt_url"), "warc_ts", "url"
     )
-    return d[0]["pos"] if d else -1
+    key = (
+        d.filter(F.col("url") == F.lit(t))
+        .agg(F.min(F.struct("surt_url", "warc_ts", "url")).alias("k"))
+        .first()["k"]
+    )
+    if key is None:
+        return -1
+    before = (
+        (F.col("surt_url") < F.lit(key["surt_url"]))
+        | ((F.col("surt_url") == F.lit(key["surt_url"]))
+           & (F.col("warc_ts") < F.lit(key["warc_ts"])))
+        | ((F.col("surt_url") == F.lit(key["surt_url"]))
+           & (F.col("warc_ts") == F.lit(key["warc_ts"]))
+           & (F.col("url") < F.lit(key["url"])))
+    )
+    return int(d.filter(before).count())

@@ -213,6 +213,20 @@ class Crawler:
             F.col("content_type").alias("p_content_type"),
             F.col("p_redir_norm"),
         )
+        if self.cfg.dedup_pages:
+            # the fetch join requires p_url_norm unique — duplicate
+            # normalized keys would fan out batch rows (inflated metrics,
+            # negative queued tracking, duplicate resources). Latest capture
+            # wins, tie-break raw url; one whole-row max_by so columns never
+            # mix across rows. One corpus shuffle, paid once at prep.
+            others = [c for c in sel.columns if c != "p_url_norm"]
+            sel = (
+                sel.groupBy("p_url_norm")
+                .agg(F.max_by(F.struct(*others),
+                              F.struct("p_warc_ts", "p_url")).alias("_r"))
+                .select("p_url_norm",
+                        *[F.col(f"_r.{c}").alias(c) for c in others])
+            )
         return sel
 
     def _seed_frontier(self) -> DataFrame:
@@ -458,8 +472,12 @@ class Crawler:
     def add_seeds(self, seeds: list[str]) -> None:
         """Enqueue more seeds mid-crawl (the streaming-ingest path). Unlike
         initial seeds (enqueued unchecked, reference parity), late seeds are
-        deduped against the frontier so stream redelivery is idempotent."""
+        deduped against the frontier — AND within the incoming batch itself
+        (first occurrence keeps the lowest seq) — so stream redelivery and
+        duplicate-bearing micro-batches are both idempotent."""
         self._ensure_state()
+        _seen: set[str] = set()
+        seeds = [u for u in seeds if not (u in _seen or _seen.add(u))]
         rows = [
             (
                 u, _canonical_host_py(u), 0, self.next_seq + i, STATUS_QUEUED,
@@ -819,6 +837,14 @@ class Crawler:
             "total_done": self.total_done,
             "metrics": self.metrics[-1],
             "path": base,
+            # F12 throttle state: hosts that returned backoff codes THIS
+            # superstep get half budget next superstep — without persisting
+            # them, a resume right after a backoff superstep would pick a
+            # different batch, breaking the identical-ordering contract.
+            "backoff_hosts": (
+                [[r["host"], r["budget"]] for r in self._backoff_hosts.collect()]
+                if self._backoff_hosts is not None else []
+            ),
         }
         with open(os.path.join(self.workdir, "manifest.jsonl"), "a") as f:
             f.write(json.dumps(manifest) + "\n")
@@ -848,6 +874,11 @@ class Crawler:
         c.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
             os.path.join(last["path"], "frontier")
         )
+        backoff = last.get("backoff_hosts") or []
+        if backoff:
+            c._backoff_hosts = spark.createDataFrame(
+                [(h, int(b)) for h, b in backoff], "host string, budget int"
+            )
         c.resources = spark.createDataFrame([], RESOURCES_SCHEMA)
         c.order = spark.createDataFrame([], ORDER_SCHEMA)
         for rec in lines:  # append-only parts, in superstep order

@@ -9,9 +9,12 @@ that state. Two operators:
   ok counts, byte totals, first/last event time) carried across
   micro-batches: the monitoring/bookkeeping state the coordinator's
   counters provided (lib/coordinator.go:73-87).
-- ``host_budget_gate`` — a per-host token-bucket admission gate: admits at
-  most ``budget`` urls per host per micro-batch, carrying the deficit
-  forward — the streaming analog of the BSP politeness budget (F5).
+- ``host_budget_gate`` — a per-host token-bucket admission gate: ``budget``
+  tokens refill per micro-batch up to a ``burst`` cap, unused tokens carry
+  forward, each admitted url spends one — the streaming analog of the BSP
+  politeness budget (F5). A host idle for a batch may catch up in the next
+  (bounded by burst); deferred urls need no debt bookkeeping because the
+  stream redelivers them.
 
 Both run on plain batch DataFrames too (Spark executes
 applyInPandasWithState only on streams, so each has a batch-equivalent path
@@ -116,27 +119,27 @@ GATE_OUTPUT = StructType(
     ]
 )
 
-_GATE_STATE = StructType([StructField("carried_debt", LongType())])
+_GATE_STATE = StructType([StructField("tokens", LongType())])
 
 
-def _gate_fn(budget: int):
+def _gate_fn(budget: int, burst: int):
     def _gate(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (debt,) = state.get if state.exists else (0,)
+        # token bucket: refill `budget` per micro-batch, cap at `burst`;
+        # each admitted url spends one token. The carried state is the
+        # UNUSED capacity — a host that got a small batch admits more than
+        # `budget` in the next one (up to burst), which is what makes the
+        # gate a real rate limiter over time rather than a per-batch cap.
+        (tokens,) = state.get if state.exists else (budget,)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["depth", "discovery_seq", "url"]) \
             if "depth" in rows.columns else rows.sort_values("url")
-        allowed = max(budget - debt, 0)
-        admitted = [1] * min(allowed, len(rows)) + [0] * max(
-            len(rows) - allowed, 0
-        )
-        # deferred urls become next batch's debt relief (they re-arrive);
-        # overshoot from tiny batches reduces accumulated debt
-        new_debt = max(debt + min(len(rows), allowed) - budget, 0)
-        state.update((new_debt,))
+        n_admit = min(int(tokens), len(rows))
+        admitted = [1] * n_admit + [0] * (len(rows) - n_admit)
+        state.update((min(tokens - n_admit + budget, burst),))
         yield pd.DataFrame(
             {
                 "host": key[0],
@@ -148,12 +151,16 @@ def _gate_fn(budget: int):
     return _gate
 
 
-def host_budget_gate(urls: DataFrame, budget: int) -> DataFrame:
-    """Streaming admission gate: ≤ budget urls per host per micro-batch in
-    canonical order; the rest are emitted with admitted=0 for requeue.
+def host_budget_gate(urls: DataFrame, budget: int,
+                     burst: int | None = None) -> DataFrame:
+    """Streaming admission gate: token bucket per host — ``budget`` tokens
+    refill per micro-batch (burst cap defaults to 2×budget), admitted urls
+    in canonical order, the rest emitted with admitted=0 for requeue.
     Input columns: host, url (+ optional depth, discovery_seq)."""
+    if burst is None:
+        burst = 2 * budget
     return urls.groupBy("host").applyInPandasWithState(
-        _gate_fn(budget),
+        _gate_fn(budget, burst),
         outputStructType=GATE_OUTPUT,
         stateStructType=_GATE_STATE,
         outputMode="append",
