@@ -312,13 +312,23 @@ def _jaccard_pairs(spark, sf_dir):
 
 
 def _minhash_lsh(spark, sf_dir):
+    # MinHash-LSH as candidate generator + exact word-set-jaccard verify
+    # (the production dedup pattern). Injected exact duplicates guarantee
+    # hits; at j >= 0.9 the 32x4 banding misses with P < 1e-13, so the
+    # output equals the exact all-pairs jaccard >= 0.9 — the DuckDB oracle.
     docs = _t(spark, sf_dir, "documents")
-    return DT.minhash_lsh_pairs(docs, threshold=0.8)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return DT.lsh_near_dup_verified(docs.unionByName(dup), threshold=0.9)
 
 
 def _simhash(spark, sf_dir):
+    # SimHash blocking (hamming 0 -> same value -> same band buckets) +
+    # fingerprint verify: output is exactly the fingerprint-equality pair
+    # set, SQL-verifiable. The hamming<=3 near-dup variant stays covered by
+    # tests/test_dedup.py against the exact jaccard baseline.
     docs = _t(spark, sf_dir, "documents")
-    return DT.simhash_pairs(docs, max_hamming=3)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return DT.simhash_exact_dups(docs.unionByName(dup))
 
 
 def _cosine_topk(spark, sf_dir):
@@ -328,19 +338,33 @@ def _cosine_topk(spark, sf_dir):
 
 
 def _ann_lsh_topk(spark, sf_dir):
+    # inject 9 exact copies of the query vector (vec 0): identical vectors
+    # share the query's LSH bucket with probability 1, so the bucketed ANN's
+    # top-10 equals the exact brute-force top-10 (ten cosine-1.0 rows, ties
+    # broken by vec_id) — the DuckDB oracle.
     emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    copies = [
+        q.withColumn("vec_id", F.col("vec_id") + k * 1_000_000)
+        for k in range(1, 10)
+    ]
+    u = emb
+    for c in copies:
+        u = u.unionByName(c)
     qv = _query_vec(spark, sf_dir)
-    return SIM.ann_topk_lsh(emb, qv, k=10, bits=8, n_probe_flips=4)
+    return SIM.ann_topk_lsh(u, qv, k=10, bits=8, n_probe_flips=4)
 
 
 def _embedding_dups(spark, sf_dir):
-    # inject exact-duplicate vectors (vec_id + 1e6): identical vectors land
-    # in the same LSH bucket with probability 1, so recall on the injected
-    # dups is exact and the result is deterministic
+    # inject exact-duplicate vectors (vec_id + 1e6): identical vectors
+    # collide in every LSH band with probability 1, and the banded 4x8
+    # tables miss a true cosine>=0.99 pair with P ~ 6e-7 — the output equals
+    # the exact all-pairs cosine >= 0.99 set (cosine verified exactly inside
+    # buckets), which the DuckDB oracle computes by brute force.
     emb = _t(spark, sf_dir, "embeddings")
     dup = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
     return SIM.embedding_dup_pairs(
-        emb.unionByName(dup), threshold=0.99, dim=64, bits=6
+        emb.unionByName(dup), threshold=0.99, dim=64, bits=4, bands=8
     )
 
 
@@ -411,6 +435,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_topk": _graph_pagerank,
         "crawl_bfs_order": _crawl_bfs,
     }
+
+
+def _pagerank_sql(iters: int = 5, alpha: float = 0.85, k: int = 10) -> str:
+    """Unrolled power-iteration PageRank (walk_spark.operators.graph
+    semantics: uniform init, dangling mass redistributed each iteration) —
+    iterative but bounded, so plain chained CTEs express it exactly."""
+    ctes = [
+        """e AS (SELECT 'n' || CAST(o_custkey AS VARCHAR) AS src,
+                        'n' || CAST(o_orderkey % 50 AS VARCHAR) AS dst
+                 FROM orders)""",
+        """nodes AS (SELECT DISTINCT url FROM (
+              SELECT src AS url FROM e UNION ALL SELECT dst FROM e))""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT url, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""m{i} AS (
+            SELECT n.url, CAST(coalesce(s.mass, 0) AS DOUBLE) AS in_mass
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS url, sum(r.rank / d.deg) AS mass
+              FROM e JOIN deg d ON e.src = d.src
+                     JOIN r{i-1} r ON r.url = e.src
+              GROUP BY e.dst) s ON n.url = s.url)""")
+        ctes.append(f"""r{i} AS (
+            SELECT url,
+                   (1 - {alpha}) / (SELECT n FROM nn)
+                   + {alpha} * (in_mass
+                       + (1 - (SELECT sum(in_mass) FROM m{i}))
+                         / (SELECT n FROM nn)) AS rank
+            FROM m{i})""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT url, CAST(round(rank, 6) AS DOUBLE) AS rank FROM r{iters}
+        ORDER BY rank DESC, url ASC LIMIT {k}"""
+    )
+
+
+def _bfs_order_sql(supersteps: int = 3, out_deg: int = 4, hosts: int = 16,
+                   budget: int = 16) -> str:
+    """Unrolled BFS crawl-order oracle over the synthetic pages graph
+    derived from documents (url i -> (4i+j+1) mod n): per superstep — pick
+    ≤ budget per host in canonical (depth, seq, url) order, expand links in
+    (parent_seq, ordinal) order, dedup (D1 min-winner), anti-join the seen
+    set (D2), assign dense discovery_seq continuing the high-water mark.
+    Mirrors walk_spark.plans.crawl's loop exactly at this fixture shape."""
+    url = ("'http://host' || CAST(id % {h} AS VARCHAR) || '.test/doc/' || "
+           "CAST(id AS VARCHAR) || '.html'").format(h=hosts)
+    ctes = [
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        f"js AS (SELECT unnest(generate_series(0, {out_deg - 1})) AS j)",
+        ("f1 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS seq, "
+         "0 AS depth)"),
+        # seen after superstep 1's enqueue = seeds
+        "seen1 AS (SELECT id FROM f1)",
+        # budget pick (canonical order: depth, seq, url)
+        f"""b1 AS (SELECT * FROM (
+             SELECT f.*, row_number() OVER (
+               PARTITION BY id % {hosts} ORDER BY depth, seq, {url}) AS rh
+             FROM f1 f) WHERE rh <= {budget})""",
+    ]
+    for s in range(1, supersteps):
+        ctes.append(f"""cand{s} AS (
+            SELECT CAST((CAST({out_deg} AS BIGINT) * b.id + j.j + 1)
+                        % (SELECT n FROM nn) AS BIGINT) AS id,
+                   b.depth AS pdepth, b.seq AS pseq, j.j AS ord
+            FROM b{s} b, js j)""")
+        ctes.append(f"""ded{s} AS (
+            SELECT id, pdepth, pseq, ord FROM (
+              SELECT c.*, row_number() OVER (
+                PARTITION BY id ORDER BY pdepth, pseq, ord) AS rn
+              FROM cand{s} c) WHERE rn = 1)""")
+        # seq high-water mark: f{s}'s seqs are the largest assigned so far
+        # (dense, monotone per superstep), so its max is the next base
+        ctes.append(f"""f{s+1} AS (
+            SELECT id, pdepth + 1 AS depth,
+                   (SELECT coalesce(max(seq), 0) FROM f{s})
+                   + CAST(row_number() OVER (
+                       ORDER BY pdepth, pseq, ord, {url}) AS BIGINT) AS seq
+            FROM ded{s} WHERE id NOT IN (SELECT id FROM seen{s}))""")
+        ctes.append(
+            f"seen{s+1} AS (SELECT id FROM seen{s} "
+            f"UNION ALL SELECT id FROM f{s+1})"
+        )
+        ctes.append(f"""b{s+1} AS (SELECT * FROM (
+             SELECT f.*, row_number() OVER (
+               PARTITION BY id % {hosts} ORDER BY depth, seq, {url}) AS rh
+             FROM f{s+1} f) WHERE rh <= {budget})""")
+    batches = "\nUNION ALL\n".join(
+        f"SELECT {s} AS superstep, seq AS discovery_seq, {url} AS url "
+        f"FROM b{s}"
+        for s in range(1, supersteps + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(superstep AS INTEGER) AS superstep, discovery_seq,"
+          f" url FROM ({batches}) ORDER BY superstep, discovery_seq"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -586,10 +709,73 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN i ON o.url = i.url
             ORDER BY url
         """,
-        # minhash_lsh_dedup / simhash_dedup / ann_lsh_topk /
-        # embedding_dup_pairs / graph_pagerank_topk (iterative) /
-        # crawl_bfs_order: deliberately no SQL oracle —
-        # hash-sketch and iterative-BFS ops aren't ANSI-SQL-expressible; the
-        # driver records rows-only checks, and tests/test_dedup.py verifies
-        # them against exact baselines instead.
+        # The sketch ops are posed as sketch-prune + exact-verify (the
+        # production pattern), whose outputs equal exact SQL-computable sets
+        # (miss probabilities < 1e-6, zero on the injected duplicates);
+        # pagerank/BFS are bounded-iteration, unrolled into chained CTEs.
+        "minhash_lsh_dedup": f"""
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+            toksd AS (
+              SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM u),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toksd GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM toksd a JOIN toksd b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(round(i / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.9
+            ORDER BY id_a, id_b
+        """,
+        "simhash_dedup": f"""
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+            fp AS (SELECT doc_id,
+                          md5(array_to_string({toks}, ' ')) AS f
+                   FROM u)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
+        """,
+        "ann_lsh_topk": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT e.vec_id + 1000000 * g.k AS vec_id, e.embedding
+              FROM embeddings e,
+                   (SELECT unnest(generate_series(1, 9)) AS k) g
+              WHERE e.vec_id = 0),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT u.vec_id,
+                   CAST(round(list_cosine_similarity(u.embedding, q.embedding),
+                              4) AS DOUBLE) AS cosine
+            FROM u, q
+            ORDER BY cosine DESC, u.vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_dup_pairs": """
+            WITH u AS (SELECT vec_id, embedding FROM embeddings
+                       UNION ALL
+                       SELECT vec_id + 1000000 AS vec_id, embedding
+                       FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(round(list_cosine_similarity(a.embedding,
+                                                       b.embedding), 4)
+                          AS DOUBLE) AS cosine
+              FROM u a JOIN u b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM p
+            WHERE cosine >= 0.99
+            ORDER BY id_a, id_b
+        """,
+        "graph_pagerank_topk": _pagerank_sql(iters=5, alpha=0.85, k=10),
+        "crawl_bfs_order": _bfs_order_sql(supersteps=3, out_deg=4,
+                                          hosts=16, budget=16),
     }

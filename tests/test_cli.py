@@ -76,3 +76,27 @@ def test_clean_command(crawl_output):
     cleaned = json.load(open(tmp_out))
     assert "http://self.test/a.html" not in cleaned
     assert len(cleaned) == 3
+
+
+def test_inbound_links_from_sitemap_json(crawl_output):
+    """S13: the offline commands read a finalized sitemap.json like the
+    reference (cmd/inbound_links.go:35-52)."""
+    r = run_cli("inbound-links", os.path.join(crawl_output, "sitemap.json"),
+                "http://self.test/a.html")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout) == [
+        "http://self.test", "http://self.test/a.html",
+        "http://self.test/b.html", "http://self.test/c.html",
+    ]
+
+
+def test_clean_from_sitemap_json(crawl_output):
+    """S13: clean reads + rewrites a sitemap.json (cmd/clean.go:24-31)."""
+    tmp_out = os.path.join(crawl_output, "cleaned_from_sitemap.json")
+    r = run_cli("clean", os.path.join(crawl_output, "sitemap.json"),
+                "http://self.test/b", "--output", tmp_out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats == {"total": 4, "removed": 1, "kept": 3}
+    cleaned = json.load(open(tmp_out))
+    assert "http://self.test/b.html" not in cleaned and len(cleaned) == 3

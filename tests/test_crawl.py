@@ -233,3 +233,28 @@ def test_add_seeds_in_batch_duplicates_idempotent(spark):
                     "http://self.test/b.html"]
     r = c.run()
     assert sum(m["batch"] for m in r.metrics) == 3
+
+
+def test_record_headers_flatten_and_map_view(spark):
+    """P6/P12: headers array recorded when record_headers, NULL otherwise;
+    map view pairs the flattened [k1,v1,...] slots (lib/resource.go:41-67)."""
+    from walk_spark.operators.queries import headers_map
+    cfg = CrawlConfig(seeds=["http://self.test"], domains=["http://self.test"],
+                      record_headers=True)
+    r = crawl(spark, self_linking_pages(spark), cfg)
+    rows = r.ok_resources().select("url", "headers").collect()
+    assert rows and all(x["headers"] == ["Content-Type",
+                                         "text/html; charset=utf-8"]
+                        for x in rows)
+    m = headers_map(r.ok_resources()).select("headers_map").first()
+    assert m["headers_map"] == {"Content-Type": "text/html; charset=utf-8"}
+    # off by default: column exists, values NULL (config is honored)
+    cfg2 = CrawlConfig(seeds=["http://self.test"], domains=["http://self.test"])
+    r2 = crawl(spark, self_linking_pages(spark), cfg2)
+    assert all(x["headers"] is None
+               for x in r2.ok_resources().select("headers").collect())
+    # odd-length arrays drop the dangling key; NULL stays NULL
+    df = spark.createDataFrame([(["a", "1", "b"],), (None,)],
+                               "headers array<string>")
+    got = [x["headers_map"] for x in headers_map(df).collect()]
+    assert got == [{"a": "1"}, None]

@@ -100,3 +100,25 @@ def test_resume_restores_backoff_throttle(spark):
     assert a == b
     # the superstep after the 429 is budget-halved: ≤ 2 urls of b.test
     assert full.metrics[1]["batch"] <= 2
+
+
+def test_manifest_per_partition_lineage(spark):
+    """F17: the manifest records per-partition frontier lineage
+    (snapshot_id, rows_in, rows_out, frontier_partition_rows) — the Iceberg
+    manifest-table shape from SURVEY §2 F17."""
+    import json, os
+    wd = tempfile.mkdtemp()
+    cfg = CrawlConfig(seeds=["http://qri.test/"], domains=["http://qri.test"],
+                      seen_partitions=4)
+    r = crawl(spark, tree_site_pages(spark), cfg, workdir=wd)
+    with open(os.path.join(wd, "manifest.jsonl")) as f:
+        recs = [json.loads(x) for x in f if x.strip()]
+    assert len(recs) == len(r.metrics)
+    for rec in recs:
+        assert rec["snapshot_id"].endswith(f"-{rec['superstep']:05d}")
+        assert rec["rows_in"] == rec["metrics"]["batch"]
+        assert rec["rows_out"] == sum(rec["frontier_partition_rows"].values())
+    # frontier only grows; final lineage total equals the final frontier
+    outs = [rec["rows_out"] for rec in recs]
+    assert outs == sorted(outs)
+    assert outs[-1] == r.frontier.count()

@@ -1,0 +1,95 @@
+"""robots.txt parsing + live acquisition + gate integration (F5 Polite)."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from walk_spark.sources.robots import (
+    fetch_robots_rules, parse_robots_txt, rules_from_bodies,
+)
+
+SAMPLE = """
+# global rules
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Disallow:
+
+User-agent: walk_spark
+User-agent: otherbot
+Disallow: /walk-only/
+Crawl-delay: 2
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+def test_parse_star_group():
+    assert parse_robots_txt(SAMPLE, "somebot/1.0") == ["/private/", "/tmp/"]
+
+
+def test_parse_specific_group_unioned_with_star():
+    got = parse_robots_txt(SAMPLE, "walk_spark/0.1")
+    assert got == ["/private/", "/tmp/", "/walk-only/"]
+
+
+def test_parse_empty_and_garbage():
+    assert parse_robots_txt("", "x") == []
+    assert parse_robots_txt("not a robots file\n\n::\n", "x") == []
+    assert parse_robots_txt(None, "x") == []
+
+
+def test_rules_from_bodies_and_gate(spark):
+    from pyspark.sql import functions as F
+    from walk_spark.operators.politeness import apply_robots
+    bodies = spark.createDataFrame(
+        [("a.test", SAMPLE), ("b.test", "")],
+        "host string, robots_txt string",
+    )
+    rules = rules_from_bodies(bodies, "walk_spark/0.1")
+    got = sorted((r["host"], r["disallow_prefix"]) for r in rules.collect())
+    assert got == [("a.test", "/private/"), ("a.test", "/tmp/"),
+                   ("a.test", "/walk-only/")]
+    cands = spark.createDataFrame(
+        [("http://a.test/private/x", "a.test"),
+         ("http://a.test/ok", "a.test"),
+         ("http://b.test/private/x", "b.test")],
+        "url string, host string",
+    )
+    kept = {r["url"] for r in apply_robots(cands, rules).collect()}
+    assert kept == {"http://a.test/ok", "http://b.test/private/x"}
+
+
+class _RobotsHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):  # noqa: N802
+        if self.path == "/robots.txt":
+            body = b"User-agent: *\nDisallow: /secret/\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+
+def test_fetch_robots_rules_live(spark):
+    srv = HTTPServer(("127.0.0.1", 0), _RobotsHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        hosts = spark.createDataFrame(
+            [(f"127.0.0.1:{srv.server_port}",), ("127.0.0.1:9",)],
+            "host string",
+        )
+        rules = fetch_robots_rules(hosts, timeout_s=2.0)
+        got = [(r["host"], r["disallow_prefix"]) for r in rules.collect()]
+        assert got == [(f"127.0.0.1:{srv.server_port}", "/secret/")]
+    finally:
+        srv.shutdown()

@@ -219,3 +219,57 @@ def test_bloom_incremental_merge(spark):
     m = {r["part_id"]: r["bf"] for r in merged.collect()}
     f = {r["part_id"]: r["bf"] for r in full.collect()}
     assert m == f
+
+
+def test_bloom_incremental_crawl_equivalence(spark):
+    """use_bloom on/off must produce identical crawls — including with
+    recorded redirects (terminals enter the seen set mid-superstep and must
+    merge into the standing filters immediately) across multiple supersteps
+    (incremental delta merges)."""
+    from walk_spark.sources.pages import redirect_chain_pages, tree_site_pages
+
+    def run(pages, seeds, domains, use_bloom):
+        cfg = CrawlConfig(
+            seeds=seeds, domains=domains, record_redirects=True,
+            use_bloom=use_bloom, bloom_num_bits=65536, seen_partitions=4,
+        )
+        r = crawl(spark, pages, cfg)
+        order = [(x["superstep"], x["discovery_seq"], x["url"])
+                 for x in r.order.orderBy("superstep", "discovery_seq",
+                                          "url").collect()]
+        front = sorted(
+            (x["url"], x["status"], x["depth"]) for x in r.frontier.collect()
+        )
+        return order, front
+
+    for pages, seeds, domains in [
+        (tree_site_pages(spark), ["http://qri.test/"], ["http://qri.test"]),
+        (redirect_chain_pages(spark),
+         ["http://redir.test/r0", "http://redir.test/l0"],
+         ["http://redir.test"]),
+    ]:
+        a = run(pages, seeds, domains, use_bloom=False)
+        b = run(pages, seeds, domains, use_bloom=True)
+        assert a == b
+
+
+def test_bloom_probe_paths_agree(spark):
+    """The broadcast probe (small filters) and the cogrouped probe (scale
+    path) are interchangeable — and both equal the exact anti-join."""
+    seen = spark.range(0, 4000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 8).cast("int").alias("part_id"),
+    )
+    cands = spark.range(2000, 8000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 8).cast("int").alias("part_id"),
+    )
+    blooms = D.build_bloom_partitions(seen, 1000, 65536)
+    exact = {r["url"] for r in D.anti_join_seen(cands, seen).collect()}
+    bc_path = {r["url"] for r in D.anti_join_seen(
+        cands, seen, blooms, filters_bytes=8 * 65536 // 8).collect()}
+    cg_path = {r["url"] for r in D.anti_join_seen(
+        cands, seen, blooms,
+        filters_bytes=D.BLOOM_BROADCAST_MAX_BYTES + 1).collect()}
+    assert bc_path == exact == cg_path
+    assert len(exact) == 4000

@@ -44,7 +44,11 @@ def cmd_start(args) -> int:
         cfg = CrawlConfig.from_json(f.read())
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = spark.read.parquet(args.pages)
+    # live-HTTP jobs (fetch_mode="http" in the config) need no pages table
+    pages = (
+        spark.read.parquet(args.pages)
+        if cfg.fetch_mode != "http" else None
+    )
     r = crawl(spark, pages, cfg, workdir=args.workdir)
     out = args.output
     r.resources.write.mode("overwrite").parquet(f"{out}/resources")
@@ -56,13 +60,23 @@ def cmd_start(args) -> int:
     return 0
 
 
+def _entries_or_resources(spark, path: str):
+    """S13 input polymorphism: a ``*.json`` path is a finalized sitemap
+    (the reference commands' input — cmd/inbound_links.go:35-52); anything
+    else is a resources parquet table."""
+    if path.endswith(".json"):
+        from walk_spark.operators.sitemap import read_sitemap_json
+        return read_sitemap_json(spark, path), True
+    return spark.read.parquet(path), False
+
+
 def cmd_inbound_links(args) -> int:
-    """Sources linking to a url (cmd/inbound_links.go semantics; reads the
-    resources table instead of a sitemap JSON)."""
+    """Sources linking to a url (cmd/inbound_links.go; reads a sitemap.json
+    like the reference, or a resources parquet table)."""
     from walk_spark.operators.queries import inbound_links
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    res = spark.read.parquet(args.resources)
+    res, _ = _entries_or_resources(spark, args.resources)
     rows = [x["url"] for x in inbound_links(res, args.url).collect()]
     out = json.dumps(rows, indent=2)
     if args.output:
@@ -81,11 +95,14 @@ def cmd_clean(args) -> int:
     )
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    res = spark.read.parquet(args.resources)
-    entries = sitemap_entries(
-        res.filter("status between 200 and 308 and error is null "
-                   "and redirect_to is null")
-    )
+    res, is_sitemap = _entries_or_resources(spark, args.resources)
+    if is_sitemap:
+        entries = res
+    else:
+        entries = sitemap_entries(
+            res.filter("status between 200 and 308 and error is null "
+                       "and redirect_to is null")
+        )
     kept, stats = clean(entries, args.prefix)
     with open(args.output, "w") as f:
         f.write(render_sitemap_json(kept))
@@ -125,7 +142,8 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("start", help="run a crawl job")
     s.add_argument("--job", required=True, help="job config JSON path")
-    s.add_argument("--pages", required=True, help="pages parquet path")
+    s.add_argument("--pages", default=None,
+                   help="pages parquet path (omit for fetch_mode=http)")
     s.add_argument("--output", required=True, help="output directory")
     s.add_argument("--workdir", default=None, help="checkpoint directory")
     s.set_defaults(fn=cmd_start)

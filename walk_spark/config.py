@@ -81,6 +81,12 @@ class CrawlConfig:
     bloom_num_bits: int = 8_388_608
     max_redirects: int = 10
     max_supersteps: int = 1000
+    #: "corpus" (default): simulated GET via join against the pages table;
+    #: "http": real GETs through sources.http_fetch (worker.go:138-228
+    #: semantics — redirects, headers, error rows). The rest of the loop
+    #: (politeness, dedup, ordering, resume) is identical in both modes.
+    fetch_mode: str = "corpus"
+    fetch_timeout_s: float = 10.0
     #: dedup the pages corpus on its NORMALIZED url at prep time (latest
     #: warc_ts wins). Two raw urls that canonicalize identically would
     #: otherwise each match the fetch join, inflating batch counts and

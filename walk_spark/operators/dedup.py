@@ -18,12 +18,14 @@ Iceberg seen table, and co-partitioned when the frontier is bucketed.
 Bloom implementation note: Spark's ``bloom_filter_agg``/``might_contain``
 expressions are internal-only (used by runtime join filters, not registered
 as public SQL functions in Spark 4), so the per-partition filters are numpy
-bitsets built with ``applyInPandas`` over the seen rows and probed with a
-cogrouped ``applyInPandas`` on ``part_id``: each task sees ONE partition's
-candidates plus that partition's single bitset row — no driver collect, no
-broadcast of gigabytes of filters, probes hash the whole Arrow batch in one
-vectorized pass. The (part_id, bf) rows are an ordinary DataFrame; at
-warehouse scale they live in a table rebuilt incrementally per partition.
+bitsets built with ``applyInPandas`` over the seen rows. Probing has two
+equivalence-tested plans chosen by the CONFIG-derived filter-table size:
+small tables broadcast to a vectorized pandas UDF (no candidate shuffle);
+big ones (10^10-url scale → GBs of bitsets) go through a cogrouped
+``applyInPandas`` on ``part_id`` where each task sees one partition's
+candidates plus its single bitset row and nothing touches the driver. The
+(part_id, bf) rows are an ordinary DataFrame, rebuilt incrementally per
+partition (``merge_bloom_partitions``).
 """
 
 from __future__ import annotations
@@ -148,44 +150,82 @@ def merge_bloom_partitions(existing: DataFrame, added: DataFrame) -> DataFrame:
     )
 
 
+#: filter tables at or below this CONFIG-DERIVED size (seen_partitions ×
+#: num_bits/8 — no data dependence, so the path choice is deterministic
+#: across cluster sizes) are collected + broadcast and probed in-place with
+#: a pandas UDF (no candidate shuffle); larger tables use the cogrouped
+#: shuffle so no multi-GB filter set ever touches the driver.
+BLOOM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
     blooms: DataFrame | None = None,
+    filters_bytes: int | None = None,
 ) -> DataFrame:
     """D2: candidates not present in the seen set (exact url-string match).
 
-    With ``blooms`` (part_id, bf): a cogrouped ``applyInPandas`` on part_id
-    pairs each candidate partition with its single filter row; candidates
-    whose bloom says "definitely new" skip the exact anti-join entirely,
-    "maybe seen" candidates are confirmed by the (part_id, url) anti-join.
-    Bloom false-positives are corrected by the exact join, so the output is
-    identical with the prefilter on or off. No filter ever touches the
-    driver; an absent part_id row means that partition has no seen urls, so
-    its candidates are definitely new.
+    With ``blooms`` (part_id, bf): candidates whose partition filter says
+    "definitely new" skip the exact anti-join entirely, "maybe seen"
+    candidates are confirmed by the (part_id, url) anti-join. Bloom
+    false-positives are corrected by the exact join, so the output is
+    identical with the prefilter on or off.
+
+    Probe plan, chosen by ``filters_bytes`` (callers compute it from CONFIG
+    — seen_partitions × num_bits/8): small filter tables broadcast to the
+    probe UDF (one vectorized ``_probe_bits`` call per part_id group per
+    Arrow batch, no extra shuffle); at 10^10-url scale the filters are GBs,
+    so a cogrouped ``applyInPandas`` on part_id pairs each candidate
+    partition with its single filter row and nothing touches the driver.
+    An absent part_id row means that partition has no seen urls →
+    definitely new.
     """
     if blooms is None:
         return candidates.join(
             seen.select("part_id", "url"), ["part_id", "url"], "left_anti"
         )
-    out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
-    )
     cols = list(candidates.columns)
+    if filters_bytes is not None and filters_bytes <= BLOOM_BROADCAST_MAX_BYTES:
+        bf_map = {r["part_id"]: r["bf"] for r in blooms.collect()}
+        bc = candidates.sparkSession.sparkContext.broadcast(bf_map)
 
-    def _probe(key, cand: pd.DataFrame, bf_pdf: pd.DataFrame) -> pd.DataFrame:
-        if cand.empty:
-            return cand.assign(_maybe=pd.Series([], dtype=bool))
-        if bf_pdf.empty:
-            return cand.assign(_maybe=False)
-        bits = np.frombuffer(bf_pdf["bf"].iloc[0], dtype=np.uint8)
-        return cand.assign(_maybe=_probe_bits(bits, cand["url"]))
+        def _probe_bc(urls: pd.Series, parts: pd.Series) -> pd.Series:
+            out = np.zeros(len(urls), dtype=bool)
+            m = bc.value
+            pv = parts.to_numpy()
+            for p in np.unique(pv):
+                bf = m.get(int(p))
+                if bf is None:
+                    continue
+                idx = np.nonzero(pv == p)[0]
+                bits = np.frombuffer(bf, dtype=np.uint8)
+                out[idx] = _probe_bits(bits, urls.iloc[idx])
+            return pd.Series(out)
 
-    c = (
-        candidates.groupBy("part_id")
-        .cogroup(blooms.groupBy("part_id"))
-        .applyInPandas(_probe, schema=f"{out_fields}, _maybe boolean")
-    )
+        from pyspark.sql.types import BooleanType
+        mc = F.pandas_udf(_probe_bc, returnType=BooleanType())
+        c = candidates.withColumn("_maybe", mc(F.col("url"), F.col("part_id")))
+    else:
+        out_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in candidates.schema.fields
+        )
+
+        def _probe(key, cand: pd.DataFrame,
+                   bf_pdf: pd.DataFrame) -> pd.DataFrame:
+            if cand.empty:
+                return cand.assign(_maybe=pd.Series([], dtype=bool))
+            if bf_pdf.empty:
+                return cand.assign(_maybe=False)
+            bits = np.frombuffer(bf_pdf["bf"].iloc[0], dtype=np.uint8)
+            return cand.assign(_maybe=_probe_bits(bits, cand["url"]))
+
+        c = (
+            candidates.groupBy("part_id")
+            .cogroup(blooms.groupBy("part_id"))
+            .applyInPandas(_probe, schema=f"{out_fields}, _maybe boolean")
+        )
     definitely_new = c.filter(~F.col("_maybe")).drop("_maybe")
     confirmed_new = (
         c.filter(F.col("_maybe")).drop("_maybe")

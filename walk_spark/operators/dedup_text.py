@@ -238,6 +238,52 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 128,
     )
 
 
+def lsh_near_dup_verified(docs: DataFrame, threshold: float = 0.9,
+                          k: int = 128, bands: int = 32, shingle_n: int = 1,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          candidate_margin: float = 0.2,
+                          max_bucket_size: int = 5000,
+                          seed: int = 42,
+                          report: dict | None = None) -> DataFrame:
+    """Near-duplicate pairs with EXACT word-set jaccard ≥ threshold, found
+    via MinHash-LSH candidate generation — the production dedup pattern:
+    the sketch prunes the pair space to bucket collisions, an exact verify
+    (JVM array_intersect, no Python) confirms survivors, so the output is
+    the exact answer while the work stays linear in corpus size.
+
+    ``shingle_n`` defaults to 1 (word-SET minhash): the sketch must
+    estimate the same jaccard the verify computes — n-gram shingles
+    understate word-set similarity (one changed word kills n shingles), so
+    a word-j 0.93 pair could fall below the candidate cut under 3-grams.
+    Candidates are taken at ``threshold - candidate_margin`` so estimate
+    noise cannot drop a true pair: at j ≥ 0.9 with the 32×4 default bands,
+    P(miss) ≈ (1-j⁴)³² + P(Binom est < 0.7) < 10⁻¹³ — deterministic in
+    practice, which is what lets a DuckDB exact-jaccard oracle verify this
+    operator end-to-end."""
+    cand = minhash_lsh_pairs(
+        docs, threshold=max(threshold - candidate_margin, 0.0), k=k,
+        bands=bands, shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+        max_bucket_size=max_bucket_size, seed=seed, report=report,
+    )
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(words(F.col(text_col))).alias("_toks"),
+    )
+    a = t.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    b = t.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    jac = F.round(
+        inter / (F.size("_ta") + F.size("_tb") - inter), 4
+    )
+    return (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # -- simhash -------------------------------------------------------------------
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -328,5 +374,33 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_exact_dups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_bucket_size: int = 5000,
+                       report: dict | None = None) -> DataFrame:
+    """Exact-duplicate pairs found via SimHash blocking + fingerprint
+    verify: identical token streams have identical simhash (hamming 0, so
+    they collide in every band), and the md5-fingerprint equality check
+    discards hamming-0 hash collisions between different texts. The output
+    is therefore exactly the fingerprint-equality pair set — SQL-verifiable
+    — while the join never leaves the simhash band buckets."""
+    pairs = simhash_pairs(docs, max_hamming=0, id_col=id_col,
+                          text_col=text_col, max_bucket_size=max_bucket_size,
+                          report=report)
+    fp = docs.select(
+        F.col(id_col).alias("_id"),
+        fingerprint_md5(F.col(text_col)).alias("_fp"),
+    )
+    a = fp.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"))
+    b = fp.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a").join(b, "id_b")
+        .filter(F.col("_fa") == F.col("_fb"))
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )

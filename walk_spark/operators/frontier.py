@@ -84,26 +84,42 @@ def with_global_seq(
     start: int = 0,
     num_partitions: int | None = None,
     return_count: bool = False,
+    materialize: bool = True,
 ):
     """Assign a dense global sequence 0..n-1 in ``sort_cols`` order —
     scalable two-phase ranking (NO single-partition window):
 
-      1. range-repartition by the sort key,
+      1. range-repartition by the sort key and pin it (one job — the only
+         full pass over the data this function pays for),
       2. per-partition ``row_number`` (partition-local sort),
-      3. add per-partition offsets (a tiny P-row collect, broadcast back).
+      3. add per-partition offsets (a tiny P-row collect over the pinned
+         input, broadcast back as a literal map).
 
     The result depends only on the global sort order, so it is byte-identical
     across parallelism levels (the two-cluster-size determinism requirement,
     SURVEY.md §4 item 4) as long as ``sort_cols`` are a unique key (callers
     include ``url``).
+
+    ``materialize=False`` returns the ranked output LAZY (the window runs
+    when the caller next materializes state) — callers inside a loop that
+    pins merged state anyway (the crawl superstep) save one eager
+    checkpoint job per iteration.
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     cols = [F.col(c) for c in sort_cols]
-    d = df.repartitionByRange(num_partitions, *cols).withColumn(
+    # pin the INPUT first: repartitionByRange samples its input with an
+    # extra pass, so an unpinned upstream pipeline (candidate explode +
+    # dedup + anti-join in the crawl loop) would run twice. Then pin the
+    # RANGED layout too — range bounds come from sampling, and two separate
+    # actions over a lazy range exchange can sample different bounds,
+    # desynchronizing the offset map from the window partitions (observed:
+    # non-dense ranks). The second pin only shuffles the already-pinned
+    # narrow rows.
+    d0 = df.localCheckpoint(eager=True)
+    d = d0.repartitionByRange(num_partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
-    )
-    d = d.persist()
+    ).localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -114,7 +130,7 @@ def with_global_seq(
         acc += counts[pid]
     total = acc - start
     if not offsets:
-        out = df.withColumn(seq_col, F.lit(start).cast("long"))
+        out = d0.withColumn(seq_col, F.lit(start).cast("long"))
         return (out, 0) if return_count else out
     off_expr = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
@@ -127,8 +143,8 @@ def with_global_seq(
         )
         .drop("_pid")
     )
-    out = out.coalesce(num_partitions).localCheckpoint(eager=True)
-    d.unpersist()
+    if materialize:
+        out = out.coalesce(num_partitions).localCheckpoint(eager=True)
     # the per-partition counts were already collected for the offsets — hand
     # the total back so callers don't pay a separate count() job
     return (out, total) if return_count else out

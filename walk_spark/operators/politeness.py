@@ -32,20 +32,33 @@ from walk_spark.operators.frontier import ORDER_COLS
 _SALTS = 16
 
 
+#: below this many queued rows the salted two-phase pick degenerates to a
+#: single per-host window — the skew a salted first phase guards against
+#: (10^8 urls of one host landing in one sort task) cannot exist under a
+#: million rows, and the second shuffle pass is pure fixed cost. The switch
+#: keys on an exact row count, so it is deterministic across cluster sizes
+#: (same input -> same path -> same rows) and the two paths agree by
+#: construction (phase 1 only prefilters).
+_TWO_PHASE_THRESHOLD = 1_000_000
+
+
 def pick_budget_window(queued: DataFrame, budget: int,
-                       budget_overrides: DataFrame | None = None) -> DataFrame:
+                       budget_overrides: DataFrame | None = None,
+                       approx_queued: int | None = None) -> DataFrame:
     """Select ≤ budget urls per canonical host, in canonical crawl order.
 
     ``budget_overrides`` (host, budget) lowers individual hosts' budgets —
     the backoff path (F12): overrides must be ≤ the default budget (they
     only ever halve it), so the salted first phase can still prefilter with
     the default.
+
+    ``approx_queued`` (an exact tracked count, despite the name guarding
+    against stale callers): when provided and under the two-phase threshold,
+    the salted prefilter window is skipped — one shuffle instead of two.
     """
     if budget <= 0:
         return queued
     order = [F.col(c) for c in ORDER_COLS]
-    salt = F.pmod(F.xxhash64("url"), F.lit(_SALTS))
-    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
     w2 = Window.partitionBy("host").orderBy(*order)
     d = queued
     eff = F.lit(budget)
@@ -57,12 +70,19 @@ def pick_budget_window(queued: DataFrame, budget: int,
         )
         d = d.join(ov, d.host == ov._bh, "left")
         eff = F.coalesce(F.col("_bb"), F.lit(budget))
+    two_phase = approx_queued is None or approx_queued >= _TWO_PHASE_THRESHOLD
+    if two_phase:
+        salt = F.pmod(F.xxhash64("url"), F.lit(_SALTS))
+        w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+        d = (
+            d.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= F.lit(budget))
+            .drop("_r1")
+        )
     out = (
-        d.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.lit(budget))
-        .withColumn("_r2", F.row_number().over(w2))
+        d.withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= eff)
-        .drop("_r1", "_r2")
+        .drop("_r2")
     )
     if budget_overrides is not None:
         out = out.drop("_bh", "_bb")

@@ -68,6 +68,22 @@ def collection_latest(*walks: DataFrame) -> DataFrame:
     )
 
 
+def headers_map(resources: DataFrame,
+                col: str = "headers",
+                out: str = "headers_map") -> DataFrame:
+    """P12: map view over the flattened [k1, v1, k2, v2, ...] headers array
+    (lib/resource.go:58-67 HeadersMap). JVM-side: pair up even/odd slots
+    with map_from_arrays; odd-length arrays drop the dangling key like the
+    reference's loop bound; NULL stays NULL."""
+    h = F.col(col)
+    n_pairs = F.floor(F.size(h) / 2).cast("int")
+    idx = F.sequence(F.lit(0), n_pairs - 1)
+    keys = F.transform(idx, lambda i: F.element_at(h, i * 2 + 1))
+    vals = F.transform(idx, lambda i: F.element_at(h, i * 2 + 2))
+    m = F.when(h.isNotNull() & (n_pairs > 0), F.map_from_arrays(keys, vals))
+    return resources.withColumn(out, m)
+
+
 def timespan(resources: DataFrame) -> DataFrame:
     """min/max capture time (lib/walk.go:66-76)."""
     return resources.agg(

@@ -61,17 +61,48 @@ def render_sitemap_json(entries: DataFrame) -> str:
     obj = {}
     for key in sorted(rows):  # Go json.Marshal sorts map keys
         r = rows[key]
+        ts = r["timestamp"]
+        if not isinstance(ts, str):  # round-tripped sitemaps carry RFC3339
+            ts = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
         # inner field order = the Go Entry struct order (lib/sitemap.go:119-130)
         obj[key] = {
             "url": r["url"],
             "title": r["title"] or "",
-            "timestamp": r["timestamp"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "timestamp": ts,
             "status": r["status"],
             "redirects": None,
             "resources": None,
             "links": list(r["links"] or []) or None,
         }
     return json.dumps(obj, indent=2)
+
+
+def read_sitemap_json(spark, path: str) -> DataFrame:
+    """S13: load a finalized sitemap.json back as an entries DataFrame —
+    the input format of the reference's offline commands
+    (cmd/inbound_links.go:35-52, cmd/clean.go:24-31). The file is a single
+    driver-rendered JSON object by construction (one object per walk), so a
+    driver-side parse is the faithful equivalent of the reference's
+    ioutil.ReadFile + json.Unmarshal; the returned DataFrame is distributed
+    for everything downstream."""
+    with open(path) as f:
+        obj = json.load(f)
+    rows = [
+        (
+            key,
+            e.get("url"),
+            e.get("title") or "",
+            e.get("timestamp"),
+            e.get("status"),
+            list(e.get("links") or []),
+        )
+        for key, e in obj.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key string, url string, title string, timestamp string, "
+        "status int, links array<string>",
+    )
 
 
 def cdxj_index(ok_resources: DataFrame) -> DataFrame:

