@@ -311,6 +311,13 @@ def _jaccard_pairs(spark, sf_dir):
     return DT.jaccard_word_pairs(docs, threshold=0.8)
 
 
+def _ngram_jaccard(spark, sf_dir):
+    # order-sensitive 3-gram shingle jaccard — the web-dedup metric word-set
+    # jaccard can't see; exact oracle path, capped like jaccard_pairs
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return DT.jaccard_shingle_pairs(docs, threshold=0.8, n=3)
+
+
 def _minhash_lsh(spark, sf_dir):
     # MinHash-LSH as candidate generator + exact word-set-jaccard verify
     # (the production dedup pattern). Injected exact duplicates guarantee
@@ -426,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality_score,
         "fingerprint": _fingerprint,
         "jaccard_pairs": _jaccard_pairs,
+        "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_dedup": _minhash_lsh,
         "simhash_dedup": _simhash,
         "embedding_cosine_topk": _cosine_topk,
@@ -708,6 +716,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(in_degree, 0) AS in_degree
             FROM o FULL OUTER JOIN i ON o.url = i.url
             ORDER BY url
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toksrc AS (
+              SELECT doc_id, {toks} AS w FROM documents WHERE doc_id < 1000),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(0, greatest(len(w) - 3, 0)),
+                       i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')
+                     ))) AS tok
+              FROM toksrc),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(round(i / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.8
+            ORDER BY id_a, id_b
         """,
         # The sketch ops are posed as sketch-prune + exact-verify (the
         # production pattern), whose outputs equal exact SQL-computable sets

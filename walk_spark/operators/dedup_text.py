@@ -95,6 +95,47 @@ def jaccard_word_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def jaccard_shingle_pairs(docs: DataFrame, threshold: float = 0.5,
+                          n: int = 3, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Exact word-N-GRAM (shingle) Jaccard over all pairs sharing ≥1
+    shingle — order-sensitive near-dup detection (word-set jaccard is blind
+    to reordering; 3-gram jaccard is the standard web-dedup metric). Same
+    oracle-path shape as ``jaccard_word_pairs``: explode → self-join →
+    |A∩B| → sizes → threshold. Shingling is JVM-side
+    (functions.text.shingles)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # -- minhash + LSH ------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

@@ -133,6 +133,10 @@ class Crawler:
         self.cfg = cfg
         self.robots = robots
         self.workdir = workdir
+        from concurrent.futures import ThreadPoolExecutor
+        #: one helper thread for overlapping independent Spark actions
+        #: within a superstep (Spark actions are thread-safe)
+        self._pool = ThreadPoolExecutor(max_workers=1)
         if cfg.fetch_mode == "http":
             # S2 real mode: no corpus — fetches go through
             # sources.http_fetch; everything else in the loop is identical
@@ -798,6 +802,27 @@ class Crawler:
         # upd is a stateless projection over the pinned `fetched` — its few
         # downstream re-evaluations are cheaper than a materialization job
 
+        # the metrics aggregation only needs the pinned `fetched`: launch it
+        # on the helper thread NOW so it overlaps the expansion's
+        # sequence-assignment jobs (independent Spark actions run
+        # concurrently; results are timing-independent). ~0.5-1s of serial
+        # driver latency per superstep — fixed cost that never scaled.
+        backoff_flag = (
+            F.col("prev_http_status").isin(cfg.backoff_codes)
+            if cfg.backoff_codes else F.lit(False)
+        )
+        stop_flag = (
+            (F.col("url") == F.lit(cfg.stop_url)).cast("int")
+            if cfg.stop_url else F.lit(0)
+        )
+        stat_future = self._pool.submit(
+            upd.groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 F.sum(backoff_flag.cast("int")).alias("nb"),
+                 F.max(stop_flag).alias("stop"))
+            .collect
+        )
+
         # terminal urls of recorded redirects become their own frontier rows
         # (the reference "dequeues" never-queued final urls, creating them —
         # lib/coordinator.go:332-334); upsert: existing row wins its status
@@ -910,23 +935,9 @@ class Crawler:
                 F.lit(k).alias("superstep"), "depth", "discovery_seq", "url"
             )
         )
-        backoff_flag = (
-            F.col("prev_http_status").isin(cfg.backoff_codes)
-            if cfg.backoff_codes else F.lit(False)
-        )
-        # the stop-url probe (F10) rides the metrics aggregation — no
-        # separate batch-scan job
-        stop_flag = (
-            (F.col("url") == F.lit(cfg.stop_url)).cast("int")
-            if cfg.stop_url else F.lit(0)
-        )
-        stat_rows = (
-            upd.groupBy("status")
-            .agg(F.count("*").alias("n"),
-                 F.sum(backoff_flag.cast("int")).alias("nb"),
-                 F.max(stop_flag).alias("stop"))
-            .collect()
-        )
+        # join the concurrently-launched metrics aggregation (the stop-url
+        # probe F10 rides it — no separate batch-scan job)
+        stat_rows = stat_future.result()
         trace["metrics"] = round(time.monotonic() - t0, 3)
         counts = {r["status"]: r["n"] for r in stat_rows}
         n_backoff = sum(r["nb"] or 0 for r in stat_rows)
