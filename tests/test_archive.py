@@ -83,3 +83,35 @@ def test_archive_write_read_roundtrip(spark):
     idx = read_cdxj(spark, os.path.join(base, "index.cdxj")).collect()
     assert len(idx) == 4
     assert all(x["record_type"] == "response" for x in idx)
+
+
+def test_meta_roundtrip_url_with_slash_in_b64_tail(spark):
+    """Regression: standard base64 includes '/' in its alphabet, so some
+    URLs (e.g. http://a.test/?q=1 -> tail 'dGVzdC8/cT0x') nest their meta
+    file one directory deeper than meta/<head>/<tail>. read_cbor_meta must
+    recurse (recursiveFileLookup), not glob meta/*/* — the fixed glob
+    silently dropped these resources on read-back."""
+    url = "http://a.test/?q=1"
+    b64 = base64.standard_b64encode(url.encode()).decode()
+    assert "/" in b64[12:]  # the property under test
+    rows = [(None, url, dt.datetime(2020, 1, 2), 200, "text/html",
+             "text/html", 5, "t", None, "QmHash", ["http://a.test/x"],
+             None, None),
+            (None, "http://b.test/", dt.datetime(2020, 1, 2), 200,
+             "text/html", "text/html", 3, "u", None, "QmOther", [],
+             None, None)]
+    schema = ("job_id string, url string, warc_ts timestamp, status int, "
+              "content_type string, content_sniff string, "
+              "content_length long, title string, headers array<string>, "
+              "hash string, links array<string>, redirect_to string, "
+              "error string")
+    df = spark.createDataFrame(rows, schema)
+    base = tempfile.mkdtemp()
+    write_cbor_archive(df, base)
+    # the file really is nested 3 deep for the slash-bearing URL
+    deep = os.path.join(base, "meta", b64[:12], *b64[12:].split("/"))
+    assert os.path.isfile(deep)
+    back = {x["url"]: x for x in read_cbor_meta(spark, base).collect()}
+    assert set(back) == {url, "http://b.test/"}
+    assert back[url]["hash"] == "QmHash"
+    assert back[url]["links"] == ["http://a.test/x"]

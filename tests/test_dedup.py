@@ -136,3 +136,45 @@ def test_simhash_dropped_bucket_report(spark):
     assert pairs.count() == 0
     assert report["dropped_buckets"] == 4  # all 4 bands over the cap
     assert report["dropped_rows"] == 160
+
+
+def test_exact_wrappers_raise_instead_of_silent_drop(spark):
+    """The *_exact/_verified wrappers claim exact output, so an over-cap
+    band bucket must raise in strict mode (report=None), not vanish."""
+    import pytest
+    from walk_spark.operators.dedup_text import (
+        lsh_near_dup_verified, simhash_exact_dups,
+    )
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    with pytest.raises(ValueError, match="silently miss"):
+        simhash_exact_dups(docs, max_bucket_size=10)
+    with pytest.raises(ValueError, match="silently miss"):
+        lsh_near_dup_verified(docs, threshold=0.9, max_bucket_size=10)
+    # opting in via report={} keeps the documented-drop behaviour
+    rep: dict = {}
+    assert simhash_exact_dups(docs, max_bucket_size=10,
+                              report=rep).count() == 0
+    assert rep["dropped_buckets"] == 4
+    # and a cap that fits loses nothing: all 40 are mutual duplicates
+    n = simhash_exact_dups(docs, max_bucket_size=100).count()
+    assert n == 40 * 39 // 2
+
+
+def test_exact_duplicates_capped_group(spark):
+    """A million-member duplicate group completes with a bounded doc_ids
+    array: the cap is applied before aggregation (windowed row_number), so
+    no task ever buffers the full group."""
+    docs = spark.range(0, 1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("exact same boilerplate page text").alias("text"),
+    )
+    rows = DT.exact_duplicates(docs, max_group_ids=100).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 1_000_000
+    assert r["keep_id"] == 0
+    assert list(r["doc_ids"]) == list(range(100))  # smallest ids kept
+    assert r["n_overflow"] == 1_000_000 - 100

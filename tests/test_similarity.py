@@ -98,3 +98,40 @@ def test_embedding_dup_report_and_cap(spark):
     assert pairs.count() == 0
     assert report["dropped_buckets"] == 4
     assert report["dropped_rows"] == 120
+
+
+def test_lsh_index_persisted_path_prunes_partitions(spark, tmp_path):
+    """write_lsh_index / ann_topk_lsh(index_path=...): identical results to
+    the inline path, and ONLY the probed buckets' partition directories are
+    scanned (runtime pruning evidence via input_file_name)."""
+    rng = np.random.RandomState(11)
+    V = rng.normal(size=(300, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "lsh_index")
+    SIM.write_lsh_index(df, path, dim=16, bits=6, seed=9)
+
+    q = [float(x) for x in V[42]]
+    inline = [(r["vec_id"], r["cosine"]) for r in SIM.ann_topk_lsh(
+        df, q, k=5, bits=6, n_probe_flips=3, seed=9).collect()]
+    served = [(r["vec_id"], r["cosine"]) for r in SIM.ann_topk_lsh(
+        None, q, k=5, index_path=path, n_probe_flips=3,
+        spark=spark).collect()]
+    assert served == inline and served[0][0] == 42
+
+    # pruning: every file actually read lives under a probed bucket dir
+    probes = set(SIM.query_bucket(q, bits=6, seed=9, n_probe_flips=3))
+    idx = SIM.read_lsh_index(spark, path)
+    cand = idx.filter(F.col("bucket").isin([int(b) for b in probes]))
+    files = {r["f"] for r in cand.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert files, "probed buckets unexpectedly empty"
+    for f in files:
+        assert any(f"bucket={b}/" in f for b in probes), f
+    # and the probed set is a strict subset of all bucket dirs
+    all_files = {r["f"] for r in idx.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert len(files) < len(all_files)
+    # mismatched query dim is rejected
+    with pytest.raises(ValueError, match="dim"):
+        SIM.ann_topk_lsh(None, [0.0] * 8, index_path=path, spark=spark)

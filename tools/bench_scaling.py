@@ -89,6 +89,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 
 cpus, n_urls, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+use_bloom = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName("walk_spark-scaling")
          # the JOB config is held constant across cluster sizes — only the
@@ -113,8 +114,10 @@ def mk_cfg():
     return CrawlConfig(seeds=[skewed_url(i, n_hosts) for i in range(1000)],
                        domains=[f"http://host{{h}}.test" for h in range(n_hosts)],
                        record_redirects=False, seen_partitions=32,
+                       use_bloom=use_bloom,
                        dedup_pages=False)  # generator guarantees unique urls
 
+import statistics
 best = None
 rep_walls = []
 for rep in range(reps):
@@ -135,9 +138,17 @@ for rep in range(reps):
                 [m["wall_s"] for m in r.metrics], len(order), h.hexdigest())
 
 dt, fetched, n_steps, per_step, n_order, order_hash = best
+# median over post-warmup reps (rep 0 pays JIT compilation — local[32]
+# especially; see BASELINE.md warmup note). The HEADLINE efficiency is
+# computed from medians; best-of is kept as a secondary 'peak' figure —
+# best-of-N favors the level with more variance (advisor finding).
+steady = rep_walls[1:] if len(rep_walls) > 1 else rep_walls
+med_dt = statistics.median(steady)
 print(json.dumps({{
-    "cpus": cpus, "n_urls": n_urls, "fetched": fetched,
+    "cpus": cpus, "n_urls": n_urls, "fetched": fetched, "use_bloom": use_bloom,
     "wall_s": round(dt, 2), "urls_per_sec": round(fetched / dt, 1),
+    "median_wall_s": round(med_dt, 2),
+    "median_urls_per_sec": round(fetched / med_dt, 1),
     "supersteps": n_steps, "per_superstep": per_step,
     "rep_walls": rep_walls,
     "order_rows": n_order, "order_hash": order_hash,
@@ -146,10 +157,12 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_urls: int, reps: int) -> dict:
+def run_level(cpus: int, n_urls: int, reps: int,
+              use_bloom: bool = True) -> dict:
     script = WORKER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_urls), str(reps)],
+        [sys.executable, "-c", script, str(cpus), str(n_urls), str(reps),
+         str(int(use_bloom))],
         capture_output=True, text=True, timeout=5400,
         env={**os.environ, "PYTHONPATH": REPO},
     )
@@ -164,6 +177,7 @@ def main() -> None:
     n_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n4_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_cpus
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    use_bloom = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
     # the VM's achievable parallel speedup DRIFTS over time (frequency
     # scaling / co-tenancy): calibrate BOTH ceilings before and after the
     # measured levels and use the mean, reporting each sample
@@ -173,20 +187,28 @@ def main() -> None:
         return c4 / (4 * cn), p4 / (4 * pn)
 
     hw_a, kern_a = _ceilings()
-    r8 = run_level(n_cpus, n_urls, reps)
-    r32 = run_level(n4_cpus, n_urls, reps)
+    r8 = run_level(n_cpus, n_urls, reps, use_bloom)
+    r32 = run_level(n4_cpus, n_urls, reps, use_bloom)
     hw_b, kern_b = _ceilings()
     hw_eff = (hw_a + hw_b) / 2
     kern_eff = (kern_a + kern_b) / 2
-    eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
+    # HEADLINE efficiency from median post-warmup reps (best-of-N
+    # systematically favors the higher-variance level); best-of kept as
+    # the secondary 'peak' figure
+    eff = r32["median_urls_per_sec"] / (4 * r8["median_urls_per_sec"])
+    peak_eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
     same_order = r8["order_hash"] == r32["order_hash"]
     summary = {
         "n_urls": n_urls,
         "levels": [n_cpus, n4_cpus],
         "reps": reps,
-        "throughput_N": r8["urls_per_sec"],
-        "throughput_4N": r32["urls_per_sec"],
+        "use_bloom": use_bloom,
+        "throughput_N": r8["median_urls_per_sec"],
+        "throughput_4N": r32["median_urls_per_sec"],
+        "peak_throughput_N": r8["urls_per_sec"],
+        "peak_throughput_4N": r32["urls_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "peak_scaling_efficiency": round(peak_eff, 3),
         "cpu_ceiling_efficiency": round(hw_eff, 3),
         "kernel_ceiling_efficiency": round(kern_eff, 3),
         "ceiling_samples": {
@@ -205,18 +227,23 @@ def main() -> None:
 
 Protocol (BASELINE.md "Sandbox evidencing protocol"): same crawl job, same
 deterministic synthetic input ({n_urls} urls, 64 hosts, hot host 0 holding
-~50%, out-degree 8), run at local[{n_cpus}] (N) and local[{n4_cpus}] (4N),
-one JVM each. The input corpus is warmed before the clock (it models an
-existing warehouse table, not crawl work); each level runs {reps} reps in
-one JVM and the best rep counts (this VM shows ~20% run-to-run variance —
-all reps listed below).
+~50%, out-degree 8), bloom prefilter {'ON (the 10^10-scale path)' if use_bloom else 'OFF'},
+run at local[{n_cpus}] (N) and local[{n4_cpus}] (4N), one JVM each. The
+input corpus is warmed before the clock (it models an existing warehouse
+table, not crawl work); each level runs {reps} reps in one JVM. The
+HEADLINE throughput is the MEDIAN of the post-warmup reps (rep 0 pays JIT
+compilation); best-of-reps is disclosed as a secondary "peak" figure only —
+best-of-N systematically favors the higher-variance level, so efficiency is
+computed from medians. This VM shows ~20% run-to-run variance — all reps
+listed below.
 
-| level | cpus | urls fetched | wall (s) | urls/sec | supersteps | all reps (s) |
-|---|---|---|---|---|---|---|
-| N  | {n_cpus}  | {r8['fetched']} | {r8['wall_s']} | {r8['urls_per_sec']} | {r8['supersteps']} | {r8['rep_walls']} |
-| 4N | {n4_cpus} | {r32['fetched']} | {r32['wall_s']} | {r32['urls_per_sec']} | {r32['supersteps']} | {r32['rep_walls']} |
+| level | cpus | urls fetched | median wall (s) | median urls/sec | peak urls/sec | supersteps | all reps (s) |
+|---|---|---|---|---|---|---|---|
+| N  | {n_cpus}  | {r8['fetched']} | {r8['median_wall_s']} | {r8['median_urls_per_sec']} | {r8['urls_per_sec']} | {r8['supersteps']} | {r8['rep_walls']} |
+| 4N | {n4_cpus} | {r32['fetched']} | {r32['median_wall_s']} | {r32['median_urls_per_sec']} | {r32['urls_per_sec']} | {r32['supersteps']} | {r32['rep_walls']} |
 
-- **scaling efficiency (urls_per_sec_4N / (4 × urls_per_sec_N)) = {eff:.3f}**
+- **scaling efficiency (median urls_per_sec_4N / (4 × median urls_per_sec_N))
+  = {eff:.3f}** (peak-based: {peak_eff:.3f})
 - **hardware ceilings on this VM (no Spark, pure multiprocessing of
   perfectly-parallel code, {n_cpus}->{n4_cpus} procs; the VM's achievable
   speedup drifts over time, so each ceiling is the mean of a sample before

@@ -157,6 +157,27 @@ def merge_bloom_partitions(existing: DataFrame, added: DataFrame) -> DataFrame:
 #: shuffle so no multi-GB filter set ever touches the driver.
 BLOOM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
+#: broadcasts created by anti_join_seen's small-filter path, pending
+#: release. A broadcast must outlive the (lazy) probe plan that captures
+#: it, so anti_join_seen can't destroy it itself — callers invoke
+#: release_bloom_broadcasts() once the consuming action has run (the
+#: crawler does this after each superstep's frontier pin). Without this,
+#: long crawls / repeated Crawler construction accumulate driver memory.
+_PENDING_BROADCASTS: list = []
+
+
+def release_bloom_broadcasts() -> int:
+    """Destroy all bloom broadcasts whose consuming plans have been
+    materialized. Returns how many were released."""
+    n = len(_PENDING_BROADCASTS)
+    for bc in _PENDING_BROADCASTS:
+        try:
+            bc.destroy()
+        except Exception:
+            pass  # already destroyed / context gone
+    _PENDING_BROADCASTS.clear()
+    return n
+
 
 def anti_join_seen(
     candidates: DataFrame,
@@ -189,6 +210,7 @@ def anti_join_seen(
     if filters_bytes is not None and filters_bytes <= BLOOM_BROADCAST_MAX_BYTES:
         bf_map = {r["part_id"]: r["bf"] for r in blooms.collect()}
         bc = candidates.sparkSession.sparkContext.broadcast(bf_map)
+        _PENDING_BROADCASTS.append(bc)
 
         def _probe_bc(urls: pd.Series, parts: pd.Series) -> pd.Series:
             out = np.zeros(len(urls), dtype=bool)

@@ -33,21 +33,42 @@ from walk_spark.functions.text import fingerprint_md5, shingles, words
 # -- exact ------------------------------------------------------------------
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     max_group_ids: int = 10_000) -> DataFrame:
     """Duplicate groups by normalized-text fingerprint: one row per group
-    with >1 member: (fp, n_docs, keep_id=min id, doc_ids sorted)."""
+    with >1 member: (fp, n_docs, keep_id=min id, doc_ids sorted — capped,
+    n_overflow = members beyond the cap).
+
+    ``doc_ids`` keeps at most ``max_group_ids`` (smallest ids); the rest
+    are counted in ``n_overflow``, never materialized. The cap is applied
+    BEFORE aggregation (row_number over the fp window feeds a conditional
+    collect_list), so the agg buffer itself is bounded — at 100 TB a
+    boilerplate/empty-page fingerprint with 10^8 members would otherwise
+    build one multi-GB array cell in a single task. The window and the
+    groupBy share the hash-partitioning on fp: one shuffle total.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+    ).withColumn("_rn", F.row_number().over(w))
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            fingerprint_md5(F.col(text_col)).alias("fp"),
-        )
-        .groupBy("fp")
+        ranked.groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("keep_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_group_ids, F.col("doc_id"))
+                )
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
+        .withColumn(
+            "n_overflow",
+            F.greatest(F.col("n_docs") - F.lit(max_group_ids), F.lit(0)),
+        )
     )
 
 
@@ -301,11 +322,26 @@ def lsh_near_dup_verified(docs: DataFrame, threshold: float = 0.9,
     P(miss) ≈ (1-j⁴)³² + P(Binom est < 0.7) < 10⁻¹³ — deterministic in
     practice, which is what lets a DuckDB exact-jaccard oracle verify this
     operator end-to-end."""
+    # Exactness claim => cap drops cannot be silent: with report=None an
+    # internal report is used and an over-cap bucket raises instead of
+    # quietly losing true pairs (duplicate-heavy corpora put >cap docs in
+    # one band bucket — exactly the pairs this operator exists to find).
+    strict = report is None
+    if strict:
+        report = {}
     cand = minhash_lsh_pairs(
         docs, threshold=max(threshold - candidate_margin, 0.0), k=k,
         bands=bands, shingle_n=shingle_n, id_col=id_col, text_col=text_col,
         max_bucket_size=max_bucket_size, seed=seed, report=report,
     )
+    if strict and report["dropped_buckets"]:
+        raise ValueError(
+            f"lsh_near_dup_verified: {report['dropped_buckets']} band "
+            f"buckets over max_bucket_size={max_bucket_size} "
+            f"({report['dropped_rows']} rows) dropped — output would "
+            "silently miss true pairs; raise max_bucket_size or pass "
+            "report={} to accept documented drops"
+        )
     t = docs.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(words(F.col(text_col))).alias("_toks"),
@@ -429,9 +465,22 @@ def simhash_exact_dups(docs: DataFrame, id_col: str = "doc_id",
     discards hamming-0 hash collisions between different texts. The output
     is therefore exactly the fingerprint-equality pair set — SQL-verifiable
     — while the join never leaves the simhash band buckets."""
+    # Same no-silent-drop contract as lsh_near_dup_verified: report=None
+    # means strict — over-cap band buckets raise rather than lose pairs.
+    strict = report is None
+    if strict:
+        report = {}
     pairs = simhash_pairs(docs, max_hamming=0, id_col=id_col,
                           text_col=text_col, max_bucket_size=max_bucket_size,
                           report=report)
+    if strict and report["dropped_buckets"]:
+        raise ValueError(
+            f"simhash_exact_dups: {report['dropped_buckets']} band buckets "
+            f"over max_bucket_size={max_bucket_size} "
+            f"({report['dropped_rows']} rows) dropped — output would "
+            "silently miss true duplicate pairs; raise max_bucket_size or "
+            "pass report={} to accept documented drops"
+        )
     fp = docs.select(
         F.col(id_col).alias("_id"),
         fingerprint_md5(F.col(text_col)).alias("_fp"),

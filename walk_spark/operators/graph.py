@@ -77,10 +77,16 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, iters: int = 10,
 
 
 def top_pages(edges: DataFrame, k: int = 10, **kw) -> DataFrame:
-    """Top-k urls by PageRank (TakeOrdered — no global sort)."""
+    """Top-k urls by PageRank (TakeOrdered — no global sort).
+
+    The selection key is the ROUNDED rank (6 decimals) with url ASC as the
+    tie-break — the same key the SQL oracle orders by. Ordering by the
+    unrounded rank would make nodes that tie at 1e-6 granularity near the
+    k boundary engine-dependent (float summation order differs), so both
+    engines must use one key."""
     return (
         pagerank(edges, **kw)
+        .select("url", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("url"))
         .limit(k)
-        .select("url", F.round("rank", 6).alias("rank"))
     )

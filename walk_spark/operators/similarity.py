@@ -83,6 +83,39 @@ def rp_lsh_buckets(embeddings: DataFrame, dim: int, bits: int = 12,
     )
 
 
+def write_lsh_index(embeddings: DataFrame, path: str, dim: int,
+                    bits: int = 12, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 42) -> None:
+    """Persist the RP-LSH index: ``rp_lsh_buckets`` output written
+    partitioned by bucket (parquet ``partitionBy`` — one directory per
+    bucket, so a probe of B buckets scans B/2^bits of the corpus via
+    partition pruning, never the full table). The LSH parameters are
+    stored alongside (_lsh_meta.json) so reads derive query probes from
+    the SAME hyperplanes; serving many queries against a written index
+    amortizes the signature UDF to zero."""
+    import json as _json
+    import os as _os
+    bucketed = rp_lsh_buckets(embeddings, dim, bits, id_col, vec_col, seed)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    with open(_os.path.join(path, "_lsh_meta.json"), "w") as f:
+        _json.dump({"dim": dim, "bits": bits, "seed": seed}, f)
+
+
+def read_lsh_index(spark, path: str,
+                   with_meta: bool = False):
+    """Read a ``write_lsh_index`` table. Returns the DataFrame (vec_id,
+    embedding, bucket) — bucket is the partition column, so filters on it
+    prune directories — or (df, meta) with ``with_meta``."""
+    import json as _json
+    import os as _os
+    df = spark.read.parquet(path)
+    if not with_meta:
+        return df
+    with open(_os.path.join(path, "_lsh_meta.json")) as f:
+        meta = _json.load(f)
+    return df, meta
+
+
 def query_bucket(query_vec: list[float], bits: int = 12, seed: int = 42,
                  n_probe_flips: int = 0) -> list[int]:
     """Bucket id(s) for a query vector; with multi-probe, also the buckets
@@ -100,15 +133,40 @@ def query_bucket(query_vec: list[float], bits: int = 12, seed: int = 42,
     return buckets
 
 
-def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-                 bits: int = 12, n_probe_flips: int = 4,
+def ann_topk_lsh(embeddings: DataFrame | None, query_vec: list[float],
+                 k: int = 10, bits: int = 12, n_probe_flips: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, index_path: str | None = None,
+                 spark=None) -> DataFrame:
     """Approximate top-k: brute-force cosine only inside the query's LSH
-    bucket(s). Recall tunable via bits/probes; partition pruning applies
-    when the table is written partitioned by bucket."""
-    dim = len(query_vec)
-    bucketed = rp_lsh_buckets(embeddings, dim, bits, id_col, vec_col, seed)
+    bucket(s).
+
+    Two modes:
+    - ad-hoc (``embeddings`` given): buckets computed inline — one
+      signature-UDF pass per call; right for one-off queries.
+    - served (``index_path`` given): reads a ``write_lsh_index`` table and
+      filters on the bucket PARTITION column, so only the probed buckets'
+      directories are scanned (partition pruning — verified in
+      tests/test_similarity.py by input_file_name). bits/seed come from
+      the index metadata; this is the path that survives high query
+      volume at 10^10 rows."""
+    if index_path is not None:
+        sp = spark or (embeddings.sparkSession if embeddings is not None
+                       else None)
+        if sp is None:
+            from pyspark.sql import SparkSession
+            sp = SparkSession.getActiveSession()
+        bucketed, meta = read_lsh_index(sp, index_path, with_meta=True)
+        bits, seed = meta["bits"], meta["seed"]
+        if meta["dim"] != len(query_vec):
+            raise ValueError(
+                f"index dim {meta['dim']} != query dim {len(query_vec)}"
+            )
+    else:
+        dim = len(query_vec)
+        bucketed = rp_lsh_buckets(
+            embeddings, dim, bits, id_col, vec_col, seed
+        )
     probes = query_bucket(query_vec, bits, seed, n_probe_flips)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, "vec_id", "embedding")

@@ -133,10 +133,11 @@ class Crawler:
         self.cfg = cfg
         self.robots = robots
         self.workdir = workdir
-        from concurrent.futures import ThreadPoolExecutor
         #: one helper thread for overlapping independent Spark actions
-        #: within a superstep (Spark actions are thread-safe)
-        self._pool = ThreadPoolExecutor(max_workers=1)
+        #: within a superstep (Spark actions are thread-safe); created
+        #: lazily, shut down by close() / run()'s finally so repeated
+        #: Crawler construction doesn't leak driver threads
+        self._pool_inst = None
         if cfg.fetch_mode == "http":
             # S2 real mode: no corpus — fetches go through
             # sources.http_fetch; everything else in the loop is identical
@@ -317,6 +318,28 @@ class Crawler:
         return (
             F.when(host.isin(self._hot_hosts), by_url).otherwise(by_host)
         ).cast("int")
+
+    @property
+    def _pool(self):
+        if self._pool_inst is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool_inst = ThreadPoolExecutor(max_workers=1)
+        return self._pool_inst
+
+    def close(self) -> None:
+        """Release driver-side resources: the helper thread pool and any
+        bloom broadcasts still pending. Idempotent; run() calls it in a
+        finally, and Crawler works as a context manager."""
+        if self._pool_inst is not None:
+            self._pool_inst.shutdown(wait=True)
+            self._pool_inst = None
+        D.release_bloom_broadcasts()
+
+    def __enter__(self) -> "Crawler":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """coalesce + localCheckpoint: cut lineage AND bound the partition
@@ -654,17 +677,28 @@ class Crawler:
                 F.col("status") == STATUS_QUEUED
             ).count()
         stop = False
-        while not stop and self.superstep < self.cfg.max_supersteps:
-            if self._queued_count <= 0:
-                break
-            queued = self.frontier.filter(F.col("status") == STATUS_QUEUED)
-            batch = self._pick_batch(queued)
-            self.superstep += 1
-            stop = self._superstep(batch)
-            m = self.metrics[-1]
-            self._queued_count += m["requeued"] + m["new_urls"] - m["batch"]
-            self._checkpoint_state()
-        self._flush_parts()
+        try:
+            while not stop and self.superstep < self.cfg.max_supersteps:
+                if self._queued_count <= 0:
+                    break
+                queued = self.frontier.filter(
+                    F.col("status") == STATUS_QUEUED
+                )
+                batch = self._pick_batch(queued)
+                self.superstep += 1
+                stop = self._superstep(batch)
+                m = self.metrics[-1]
+                self._queued_count += (
+                    m["requeued"] + m["new_urls"] - m["batch"]
+                )
+                self._checkpoint_state()
+                # the frontier pin above materialized this superstep's
+                # bloom-probe plan — its broadcast can go now (else a
+                # long crawl accumulates one broadcast per superstep)
+                D.release_bloom_broadcasts()
+            self._flush_parts()
+        finally:
+            self.close()
         return CrawlResult(
             frontier=self.frontier,
             resources=self.resources,
@@ -1005,6 +1039,17 @@ class Crawler:
         self.frontier = self.spark.read.schema(self.frontier.schema).parquet(
             os.path.join(base, "frontier")
         )
+        # per-partition lineage (SURVEY F17: the Iceberg manifest table
+        # shape (superstep, snapshot_id, rows_in, rows_out)): row counts per
+        # seen-set partition of the frontier snapshot just written — a
+        # column-pruned agg over the re-read parquet (part_id only), run on
+        # the helper thread so it OVERLAPS the resources/order part writes
+        # below instead of adding a serial job to the superstep tail
+        frontier_snapshot = self.frontier
+        part_future = self._pool.submit(
+            lambda: frontier_snapshot.groupBy("part_id")
+            .agg(F.count("*").alias("n")).collect()
+        )
         for name, parts in (("resources", self._res_parts),
                             ("order", self._order_parts)):
             for p in parts:
@@ -1018,16 +1063,7 @@ class Crawler:
                 )
         self._res_parts = []
         self._order_parts = []
-        # per-partition lineage (SURVEY F17: the Iceberg manifest table
-        # shape (superstep, snapshot_id, rows_in, rows_out)): row counts per
-        # seen-set partition of the frontier snapshot just written — a cheap
-        # agg over the re-read parquet; lets an auditor trace every
-        # partition's growth across supersteps and a resume verify integrity
-        part_rows = {
-            int(r["part_id"]): r["n"]
-            for r in self.frontier.groupBy("part_id")
-            .agg(F.count("*").alias("n")).collect()
-        }
+        part_rows = {int(r["part_id"]): r["n"] for r in part_future.result()}
         m_last = self.metrics[-1]
         manifest = {
             "superstep": k,

@@ -255,9 +255,13 @@ def read_cbor_meta(spark, base: str) -> DataFrame:
     binaryFile scan + an Arrow-batched CBOR decode."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(
-        os.path.join(base, "meta", "*", "*")
-    ).select("content")
+    # recursiveFileLookup, not a fixed meta/*/* glob: _meta_path uses
+    # standard base64 whose alphabet includes '/', so URLs with e.g. '?'
+    # get a '/' inside b64[12:] and their meta files land one directory
+    # deeper — a two-level glob would silently drop them on read-back.
+    files = spark.read.format("binaryFile") \
+        .option("recursiveFileLookup", "true") \
+        .load(os.path.join(base, "meta")).select("content")
 
     schema = ("jobID string, url string, timestamp string, status int, "
               "contentType string, contentSniff string, contentLength long, "
