@@ -115,3 +115,28 @@ def test_meta_roundtrip_url_with_slash_in_b64_tail(spark):
     assert set(back) == {url, "http://b.test/"}
     assert back[url]["hash"] == "QmHash"
     assert back[url]["links"] == ["http://a.test/x"]
+
+
+def test_distributed_cdxj_table_equals_single_file(spark):
+    """write_cdxj_table: concatenating the ranged+sorted text parts in
+    filename order is byte-equal to the driver-rendered index.cdxj."""
+    import glob
+    from walk_spark.config import CrawlConfig
+    from walk_spark.plans.crawl import crawl
+    from walk_spark.sources.archive import write_cdxj_table
+    from walk_spark.sources.pages import self_linking_pages
+    cfg = CrawlConfig(seeds=["http://self.test"],
+                      domains=["http://self.test"])
+    r = crawl(spark, self_linking_pages(spark), cfg)
+    base = tempfile.mkdtemp()
+    write_cbor_archive(r.ok_resources(), base)          # single-file render
+    single = open(os.path.join(base, "index.cdxj"), "rb").read()
+
+    tbl = os.path.join(base, "index.cdxj.d")
+    write_cdxj_table(r.ok_resources(), tbl, partitions=3)
+    parts = sorted(glob.glob(os.path.join(tbl, "part-*")))
+    concat = b"".join(open(p, "rb").read() for p in parts)
+    assert concat == single and single
+    # and the distributed read path sees the same records
+    idx = read_cdxj(spark, tbl).collect()
+    assert len(idx) == len(single.splitlines())

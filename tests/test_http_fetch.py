@@ -171,3 +171,51 @@ def test_e2e_http_crawl(spark):
                    if u != f"{base}/b.html")
     finally:
         srv.shutdown()
+
+
+class _TimedHandler(BaseHTTPRequestHandler):
+    """Records arrival monotonic time per request path."""
+    times: list = []
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):  # noqa: N802
+        import time
+        type(self).times.append((self.path, time.monotonic()))
+        body = b"<html><body>ok</body></html>"
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_fetch_batch_crawl_delay_spacing(spark):
+    """delay_ms enforces the reference's CrawlDelay (lib/worker.go:81-83):
+    consecutive same-host GETs within a task are spaced >= delay_ms."""
+    from walk_spark.sources.http_fetch import fetch_batch
+
+    _TimedHandler.times = []
+    srv = HTTPServer(("127.0.0.1", 0), _TimedHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        urls = spark.createDataFrame(
+            [(f"{base}/p{i}.html",) for i in range(4)], ["url"]
+        ).coalesce(1)
+        out = fetch_batch(urls, delay_ms=250).collect()
+        assert all(r["status"] == 200 for r in out)
+        ts = sorted(t for _, t in _TimedHandler.times)
+        assert len(ts) == 4
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        # sleep is delay minus elapsed fetch time; allow small scheduler slop
+        assert all(g >= 0.225 for g in gaps), gaps
+        # and with no delay the same site is hit back-to-back (sanity)
+        _TimedHandler.times = []
+        fetch_batch(urls, delay_ms=0).collect()
+        ts0 = sorted(t for _, t in _TimedHandler.times)
+        gaps0 = [b - a for a, b in zip(ts0, ts0[1:])]
+        assert min(gaps0) < 0.2, gaps0
+    finally:
+        srv.shutdown()

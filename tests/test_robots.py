@@ -93,3 +93,57 @@ def test_fetch_robots_rules_live(spark):
         assert got == [(f"127.0.0.1:{srv.server_port}", "/secret/")]
     finally:
         srv.shutdown()
+
+
+ALLOW_SAMPLE = """
+User-agent: *
+Disallow: /
+Allow: /public/
+Allow: /blog
+Disallow: /public/secret/
+"""
+
+
+def test_parse_allow_rules():
+    from walk_spark.sources.robots import parse_robots_rules
+    got = parse_robots_rules(ALLOW_SAMPLE, "anybot/1")
+    assert got == [("/", False), ("/public/", True), ("/blog", True),
+                   ("/public/secret/", False)]
+    # legacy disallow-only view unchanged
+    assert parse_robots_txt(ALLOW_SAMPLE, "anybot/1") == \
+        ["/", "/public/secret/"]
+
+
+def test_allow_precedence_longest_match(spark):
+    """RFC 9309 §2.2.2: longest matching prefix wins, Allow wins ties —
+    the reference case: Allow:/public/ under Disallow:/ admits /public/*
+    but Disallow:/public/secret/ (longer) re-blocks its subtree."""
+    from walk_spark.operators.politeness import apply_robots
+    bodies = spark.createDataFrame(
+        [("a.test", ALLOW_SAMPLE)], "host string, robots_txt string"
+    )
+    rules = rules_from_bodies(bodies, "walk_spark/0.1")
+    cands = spark.createDataFrame(
+        [("http://a.test/", "a.test"),              # Disallow:/ wins
+         ("http://a.test/private/x", "a.test"),     # only / matches -> deny
+         ("http://a.test/public/page", "a.test"),   # Allow:/public/ wins
+         ("http://a.test/public/secret/x", "a.test"),  # longer Disallow
+         ("http://a.test/blog/post", "a.test"),     # Allow:/blog wins
+         ("http://b.test/anything", "b.test")],     # no rules -> allowed
+        "url string, host string",
+    )
+    kept = {r["url"] for r in apply_robots(cands, rules).collect()}
+    assert kept == {"http://a.test/public/page", "http://a.test/blog/post",
+                    "http://b.test/anything"}
+
+
+def test_allow_tie_goes_to_allow(spark):
+    from walk_spark.operators.politeness import apply_robots
+    rules = spark.createDataFrame(
+        [("a.test", "/p", False), ("a.test", "/p", True)],
+        "host string, disallow_prefix string, allow boolean",
+    )
+    cands = spark.createDataFrame(
+        [("http://a.test/p/x", "a.test")], "url string, host string"
+    )
+    assert apply_robots(cands, rules).count() == 1

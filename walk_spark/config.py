@@ -87,6 +87,12 @@ class CrawlConfig:
     #: (politeness, dedup, ordering, resume) is identical in both modes.
     fetch_mode: str = "corpus"
     fetch_timeout_s: float = 10.0
+    #: http mode only: real CrawlDelay (fetchbot, lib/worker.go:81-83) —
+    #: minimum ms between consecutive same-host GETs inside a fetch task.
+    #: Politeness budgets bound the per-superstep COUNT; this bounds the
+    #: instantaneous RATE a live server sees. 0 = no sleeping (default —
+    #: the BSP budget is the politeness contract for simulated runs).
+    http_delay_milli: int = 0
     #: dedup the pages corpus on its NORMALIZED url at prep time (latest
     #: warc_ts wins). Two raw urls that canonicalize identically would
     #: otherwise each match the fetch join, inflating batch counts and

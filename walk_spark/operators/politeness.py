@@ -121,24 +121,55 @@ def cap_batch(batch: DataFrame, max_batch_size: int) -> DataFrame:
 
 
 def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Drop candidates disallowed by (host, disallow_prefix) rules.
+    """Drop candidates disallowed by robots rules, with RFC 9309 §2.2.2
+    precedence: among all rules whose prefix matches the URL path, the
+    LONGEST prefix wins; a length tie goes to Allow; no match = allowed.
 
-    ``robots`` columns: host, user_agent, disallow_prefix (FIXTURES.md §3).
-    Broadcast non-equi prefix join (rules tables are small relative to the
-    frontier); '*' user_agent only at fixture scale.
+    ``robots`` columns: host, disallow_prefix, optional ``allow`` boolean
+    (absent/null = Disallow rule — the legacy fixture shape, for which
+    longest-match degenerates to the old any-match-denies behavior).
+
+    Shuffle shape: the tiny rules table is pre-aggregated to one
+    array<struct<prefix,allow>> row per host and BROADCAST; each candidate
+    then resolves its verdict with JVM higher-order functions (filter +
+    aggregate over the host's rule array) inside whole-stage codegen — the
+    high-volume candidate stream is never shuffled or UDF'd here.
     """
     if robots is None:
         return candidates
-    rules = F.broadcast(
+    allow_col = (F.coalesce(F.col("allow"), F.lit(False))
+                 if "allow" in robots.columns else F.lit(False))
+    by_host = F.broadcast(
         robots.select(
             F.col("host").alias("_rhost"),
-            F.col("disallow_prefix").alias("_rpre"),
+            F.struct(
+                F.col("disallow_prefix").alias("prefix"),
+                allow_col.alias("allow"),
+            ).alias("_r"),
         )
+        .groupBy("_rhost")
+        .agg(F.collect_list("_r").alias("_rules"))
     )
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
-    hit = candidates.join(
-        rules,
-        (F.col("host") == F.col("_rhost")) & path.startswith(F.col("_rpre")),
-        "left_semi",
+    joined = candidates.join(
+        by_host, candidates["host"] == by_host["_rhost"], "left"
     )
-    return candidates.join(hit.select("url"), "url", "left_anti")
+    matched = F.filter(
+        F.coalesce(F.col("_rules"), F.array()),
+        lambda r: path.startswith(r["prefix"]),
+    )
+    # longest-match fold: carry (best_len, best_allow); ties -> Allow
+    verdict = F.aggregate(
+        matched,
+        F.struct(F.lit(-1).alias("len"), F.lit(True).alias("allow")),
+        lambda acc, r: F.when(
+            F.length(r["prefix"]) > acc["len"],
+            F.struct(F.length(r["prefix"]).alias("len"),
+                     r["allow"].alias("allow")),
+        ).when(
+            (F.length(r["prefix"]) == acc["len"]) & r["allow"],
+            F.struct(acc["len"].alias("len"), F.lit(True).alias("allow")),
+        ).otherwise(acc),
+        lambda acc: acc["allow"],
+    )
+    return joined.filter(verdict).drop("_rhost", "_rules")

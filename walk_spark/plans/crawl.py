@@ -501,6 +501,7 @@ class Crawler:
             user_agent=cfg.user_agent,
             timeout_s=cfg.fetch_timeout_s,
             max_redirects=cfg.max_redirects,
+            delay_ms=cfg.http_delay_milli,
         )
         f = self._pin(f)
         self._hop_rows = None

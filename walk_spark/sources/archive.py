@@ -190,7 +190,8 @@ def _body_path(base: str, h: str) -> str:
 
 
 def write_cbor_archive(resources: DataFrame, base: str,
-                       bodies: DataFrame | None = None) -> None:
+                       bodies: DataFrame | None = None,
+                       index_partitions: int = 0) -> None:
     """Write the content-addressed archive layout. ``resources`` is the
     meta projection (ok_resources()); ``bodies`` optionally maps
     (hash, body binary) — bodies are stored once per hash (content
@@ -226,28 +227,80 @@ def write_cbor_archive(resources: DataFrame, base: str,
                     f.write(cbor_encode(bytes(r["body"])))
         bodies.select("hash", "body").foreachPartition(_write_body)
 
-    # index.cdxj — record fields per resource_handler.go:160-175
+    if index_partitions > 0:
+        write_cdxj_table(
+            resources, os.path.join(base, "index.cdxj.d"), index_partitions
+        )
+        return
+    # index.cdxj single-file render — reference parity (cdxj.Writer.Close
+    # writes one sorted file; record fields per resource_handler.go:160-175).
+    # Fine at walk-size archives; at warehouse scale pass index_partitions.
     proj = resources.select(
         "url", "warc_ts", "hash", "content_length",
         *(c for c in ("redirect_to", "redirect_from", "job_id")
           if c in cols),
     ).collect()
-    lines = []
-    for r in proj:
-        rec = {"hash": r["hash"], "size": r["content_length"], "url": r["url"]}
-        if "redirect_to" in cols and r["redirect_to"]:
-            rec["redirectTo"] = r["redirect_to"]
-        if "redirect_from" in cols and r["redirect_from"]:
-            rec["redirectFrom"] = r["redirect_from"]
-        if "job_id" in cols and r["job_id"]:
-            rec["jobID"] = r["job_id"]
-        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
-        lines.append(
-            f"{surt(r['url'])} {ts} response "
-            f"{json.dumps(rec, sort_keys=True, separators=(',', ':'))}"
-        )
+    lines = [_cdxj_line(r.asDict(), cols) for r in proj]
     with open(os.path.join(base, "index.cdxj"), "w") as f:
         f.write("\n".join(sorted(lines)) + ("\n" if lines else ""))
+
+
+def _cdxj_line(d: dict, cols) -> str:
+    """One CDXJ index line (resource_handler.go:160-175 field set). Shared
+    by the driver render and the distributed table writer so both produce
+    byte-identical lines."""
+    rec = {"hash": d["hash"], "size": d["content_length"], "url": d["url"]}
+    if "redirect_to" in cols and d.get("redirect_to"):
+        rec["redirectTo"] = d["redirect_to"]
+    if "redirect_from" in cols and d.get("redirect_from"):
+        rec["redirectFrom"] = d["redirect_from"]
+    if "job_id" in cols and d.get("job_id"):
+        rec["jobID"] = d["job_id"]
+    ts = d["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+    return (
+        f"{surt(d['url'])} {ts} response "
+        f"{json.dumps(rec, sort_keys=True, separators=(',', ':'))}"
+    )
+
+
+def write_cdxj_table(resources: DataFrame, path: str,
+                     partitions: int = 32) -> None:
+    """Distributed CDXJ finalize: the SURT-sorted index as a partitioned
+    text table — repartitionByRange over the line key (lines start with
+    "<surt> <ts>", so ranging on the line ranges on surt) +
+    sortWithinPartitions, one text file per range. Ascending range ids map
+    to ascending part file names, so concatenating parts in filename order
+    reproduces the single-file index byte-for-byte (tested) — but no
+    driver materialization and no single-node sort, which is what an
+    archive-scale index needs."""
+    import pandas as pd
+
+    cols = resources.columns
+    proj = resources.select(
+        "url", "warc_ts", "hash", "content_length",
+        *(c for c in ("redirect_to", "redirect_from", "job_id")
+          if c in cols),
+    )
+
+    def _lines(it):
+        for pdf in it:
+            # Arrow gives numpy scalars / NaN — normalize to the same
+            # Python types the driver render sees (json.dumps rejects
+            # int64; NaN is truthy and would fake a redirect field)
+            pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+            rows = pdf.to_dict("records")
+            for row in rows:
+                row["content_length"] = int(row["content_length"])
+            yield pd.DataFrame(
+                {"value": [_cdxj_line(row, cols) for row in rows]}
+            )
+
+    lines = proj.mapInPandas(_lines, schema="value string")
+    (
+        lines.repartitionByRange(partitions, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite").text(path)
+    )
 
 
 def read_cbor_meta(spark, base: str) -> DataFrame:

@@ -108,10 +108,18 @@ def fetch_one(url: str, user_agent: str, timeout_s: float,
 
 def fetch_batch(urls: DataFrame, user_agent: str = "walk_spark/0.1",
                 timeout_s: float = 10.0, max_redirects: int = 10,
-                url_col: str = "url") -> DataFrame:
+                url_col: str = "url", delay_ms: float = 0.0) -> DataFrame:
     """Distributed GET of every url in ``urls`` (one row per input url).
     All other input columns are preserved (the crawl passes frontier
-    bookkeeping through)."""
+    bookkeeping through).
+
+    ``delay_ms`` > 0 enforces the reference's CrawlDelay between
+    consecutive same-host GETs WITHIN a task (lib/worker.go:81-83): each
+    task tracks the last-GET time per host and sleeps the remainder of
+    the delay before re-hitting that host. Politeness budgets upstream
+    bound the per-superstep count; this bounds the instantaneous rate a
+    live server sees. Rows for one host land in few tasks (part_id/host
+    partitioning), so the per-task tracker is the per-host rate limiter."""
     passthrough = [c for c in urls.columns]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -119,11 +127,23 @@ def fetch_batch(urls: DataFrame, user_agent: str = "walk_spark/0.1",
     ) + ", " + FETCH_SCHEMA.replace("url string, ", "", 1)
 
     def _go(it):
+        import time
+        from urllib.parse import urlsplit
+        last_hit: dict[str, float] = {}
         for pdf in it:
-            recs = [
-                fetch_one(u, user_agent, timeout_s, max_redirects)
-                for u in pdf[url_col]
-            ]
+            recs = []
+            for u in pdf[url_col]:
+                if delay_ms > 0:
+                    host = urlsplit(u).netloc.lower()
+                    t_prev = last_hit.get(host)
+                    if t_prev is not None:
+                        wait = delay_ms / 1000.0 - (time.monotonic() - t_prev)
+                        if wait > 0:
+                            time.sleep(wait)
+                recs.append(fetch_one(u, user_agent, timeout_s,
+                                      max_redirects))
+                if delay_ms > 0:
+                    last_hit[host] = time.monotonic()
             now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             out = pdf.copy()
             for k in ("final_url", "status", "content_type", "headers",

@@ -8,12 +8,14 @@ User-agent group's Disallow rules). Here the same policy becomes data: a
 or live via ``fetch_robots_rules`` (mapInPandas GETs, one per host, the
 same distribution discipline as sources.http_fetch).
 
-Parsing follows the original robots.txt REP as published (google's
-robotstxt draft / RFC 9309 basics): case-insensitive field names, ``#``
-comments, groups started by one or more User-agent lines, longest-match
-semantics are the CONSUMER's job (apply_robots is prefix-match), empty
-Disallow means allow-all and is dropped. Only Disallow is extracted —
-Allow precedence is out of scope like it is for fetchbot's matcher.
+Parsing follows RFC 9309 basics: case-insensitive field names, ``#``
+comments, groups started by one or more User-agent lines, empty
+Disallow/Allow values dropped (no restriction). Both Disallow AND Allow
+rules are extracted; precedence (RFC 9309 §2.2.2 longest-match, Allow
+wins ties) is applied by ``operators.politeness.apply_robots``. Path
+``*``/``$`` wildcards are not expanded (prefix semantics only — same as
+the plain-prefix matchers in most production crawlers; documented
+deviation).
 """
 
 from __future__ import annotations
@@ -22,14 +24,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
-def parse_robots_txt(body: str, user_agent: str = "*") -> list[str]:
-    """Disallow prefixes applying to ``user_agent`` (exact token match or
-    the ``*`` group; the UA product token is matched case-insensitively as
-    a substring, per RFC 9309 §2.2.1)."""
+def parse_robots_rules(body: str,
+                       user_agent: str = "*") -> list[tuple[str, bool]]:
+    """(path_prefix, is_allow) rules applying to ``user_agent`` (exact
+    token match or the ``*`` group; the UA product token is matched
+    case-insensitively as a substring, per RFC 9309 §2.2.1). Both Allow
+    and Disallow lines are extracted — precedence is the consumer's job
+    (apply_robots: longest prefix wins, Allow wins ties, §2.2.2)."""
     ua = user_agent.lower().split("/")[0].strip()
-    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
-    cur_dis: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
     in_group_body = False
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -40,40 +45,51 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> list[str]:
         value = value.strip()
         if field == "user-agent":
             if in_group_body:
-                groups.append((cur_agents, cur_dis))
-                cur_agents, cur_dis = [], []
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
                 in_group_body = False
             cur_agents.append(value.lower())
-        elif field == "disallow":
+        elif field in ("disallow", "allow"):
             in_group_body = True
             if value:
-                cur_dis.append(value)
-        elif field in ("allow", "crawl-delay", "sitemap"):
+                cur_rules.append((value, field == "allow"))
+        elif field in ("crawl-delay", "sitemap"):
             in_group_body = True  # group body continues; rules not extracted
     if cur_agents:
-        groups.append((cur_agents, cur_dis))
-    out: list[str] = []
-    for agents, dis in groups:
+        groups.append((cur_agents, cur_rules))
+    out: list[tuple[str, bool]] = []
+    for agents, rules in groups:
         if any(a == "*" or (a and a in ua) or (ua and ua in a)
                for a in agents):
-            out.extend(dis)
+            out.extend(rules)
     return out
 
 
+def parse_robots_txt(body: str, user_agent: str = "*") -> list[str]:
+    """Disallow prefixes only (legacy shape — fixture tables and callers
+    that predate Allow support)."""
+    return [p for p, allow in parse_robots_rules(body, user_agent)
+            if not allow]
+
+
 def rules_from_bodies(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
-    """(host, robots_txt string) -> (host, disallow_prefix) rules rows —
-    the input shape of ``operators.politeness.apply_robots``."""
+    """(host, robots_txt string) -> (host, disallow_prefix, allow) rules
+    rows — the input shape of ``operators.politeness.apply_robots``.
+    ``disallow_prefix`` keeps its historical name; with allow=true the
+    prefix is an Allow rule."""
     def _parse(it):
         for pdf in it:
-            hosts, prefixes = [], []
+            hosts, prefixes, allows = [], [], []
             for h, b in zip(pdf["host"], pdf["robots_txt"]):
-                for p in parse_robots_txt(b or "", user_agent):
+                for p, al in parse_robots_rules(b or "", user_agent):
                     hosts.append(h)
                     prefixes.append(p)
-            yield pd.DataFrame({"host": hosts, "disallow_prefix": prefixes})
+                    allows.append(al)
+            yield pd.DataFrame({"host": hosts, "disallow_prefix": prefixes,
+                                "allow": allows})
 
     return bodies.mapInPandas(
-        _parse, schema="host string, disallow_prefix string"
+        _parse, schema="host string, disallow_prefix string, allow boolean"
     )
 
 
@@ -87,20 +103,22 @@ def fetch_robots_rules(hosts: DataFrame, user_agent: str = "walk_spark/0.1",
 
     def _get(it):
         for pdf in it:
-            hosts_out, prefixes = [], []
+            hosts_out, prefixes, allows = [], [], []
             for h in pdf["host"]:
                 r = fetch_one(f"{scheme}://{h}/robots.txt", user_agent,
                               timeout_s, 5)
                 if r["error"] or r["status"] != 200 or r["body"] is None:
                     continue
                 body = bytes(r["body"]).decode("utf-8", errors="replace")
-                for p in parse_robots_txt(body, user_agent):
+                for p, al in parse_robots_rules(body, user_agent):
                     hosts_out.append(h)
                     prefixes.append(p)
+                    allows.append(al)
             yield pd.DataFrame(
-                {"host": hosts_out, "disallow_prefix": prefixes}
+                {"host": hosts_out, "disallow_prefix": prefixes,
+                 "allow": allows}
             )
 
     return hosts.select("host").distinct().mapInPandas(
-        _get, schema="host string, disallow_prefix string"
+        _get, schema="host string, disallow_prefix string, allow boolean"
     )
