@@ -85,6 +85,7 @@ def with_global_seq(
     num_partitions: int | None = None,
     return_count: bool = False,
     materialize: bool = True,
+    trace: dict | None = None,
 ):
     """Assign a dense global sequence 0..n-1 in ``sort_cols`` order —
     scalable two-phase ranking (NO single-partition window):
@@ -116,10 +117,17 @@ def with_global_seq(
     # desynchronizing the offset map from the window partitions (observed:
     # non-dense ranks). The second pin only shuffles the already-pinned
     # narrow rows.
+    import time as _time
+    _t = _time.monotonic()
     d0 = df.localCheckpoint(eager=True)
+    if trace is not None:
+        trace["seq_input_pin"] = round(_time.monotonic() - _t, 3)
+        _t = _time.monotonic()
     d = d0.repartitionByRange(num_partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
     ).localCheckpoint(eager=True)
+    if trace is not None:
+        trace["seq_rank_pin"] = round(_time.monotonic() - _t, 3)
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

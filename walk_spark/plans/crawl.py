@@ -180,6 +180,16 @@ class Crawler:
             spark.sparkContext.defaultParallelism, cfg.seen_partitions
         )
         self.frontier: DataFrame | None = None
+        # frontier split (the Iceberg-MERGE shape): the ACTIVE (queued)
+        # set is the only state rewritten+pinned per superstep; rows that
+        # reach a terminal status (done/failed/redirected) are append-only
+        # parts, lazy projections over the already-pinned per-superstep
+        # `fetched`, compacted every _TERM_COMPACT parts. self.frontier
+        # stays the canonical union VIEW for every reader (API, resume,
+        # seen-set, tests) — but per-superstep pinned bytes are O(active),
+        # not O(every url ever seen).
+        self._queued: DataFrame | None = None
+        self._term_parts: list[DataFrame] = []
         self.resources: DataFrame | None = None
         self.order: DataFrame | None = None
         # per-superstep output parts — unioned lazily when read, so the
@@ -341,6 +351,19 @@ class Crawler:
     def __exit__(self, *exc) -> None:
         self.close()
 
+    #: compact terminal parts into one pin once this many accumulate —
+    #: bounds plan width (a 1000-superstep crawl would otherwise union
+    #: 1000 branches into every seen-set scan)
+    _TERM_COMPACT = 8
+
+    def _rebuild_frontier_view(self) -> None:
+        """frontier = queued ∪ terminal parts (lazy; parts are projections
+        of pinned state, so re-reads are cheap and never re-fetch)."""
+        df = self._queued
+        for p in self._term_parts:
+            df = df.unionByName(p)
+        self.frontier = df
+
     def _pin(self, df: DataFrame) -> DataFrame:
         """coalesce + localCheckpoint: cut lineage AND bound the partition
         count. Unions add partition counts (a 12-branch redirect union kept
@@ -450,13 +473,17 @@ class Crawler:
         )
         return self._chains
 
-    def _update_blooms(self, redirect_terminals: DataFrame | None) -> DataFrame:
-        """Incremental bloom maintenance. The filters must be a SUPERSET of
-        the seen set (a missing url is a false negative → duplicate
-        enqueue), so: first call builds from the full pinned frontier;
-        later calls merge only rows enqueued since the last merged
-        superstep; redirect terminals created THIS superstep (not yet in
-        the pinned frontier) merge in immediately."""
+    def _update_blooms_pinned(self) -> DataFrame:
+        """Incremental bloom maintenance over the PREVIOUS superstep's
+        pinned frontier. The filters must be a SUPERSET of the seen set (a
+        missing url is a false negative → duplicate enqueue), so: first
+        call builds from the full pinned frontier; later calls merge only
+        rows enqueued since the last merged superstep.
+
+        Depends only on state pinned at the END of the last superstep, so
+        the superstep loop submits it to the helper thread at superstep
+        START — the filter merge runs concurrently with the fetch join +
+        extraction instead of serializing after them."""
         cfg = self.cfg
         items = cfg.bloom_expected_items // cfg.seen_partitions
         if self._blooms is None:
@@ -474,7 +501,18 @@ class Crawler:
                 D.build_bloom_partitions(delta, items, cfg.bloom_num_bits),
             ))
             self._bloom_hwm = self.superstep - 1
-        blooms = self._blooms
+        return self._blooms
+
+    def _update_blooms(
+        self, redirect_terminals: DataFrame | None,
+        pinned: DataFrame | None = None,
+    ) -> DataFrame:
+        """Full bloom view for this superstep: the pinned base plus
+        redirect terminals created THIS superstep (not yet in the pinned
+        frontier), merged lazily."""
+        cfg = self.cfg
+        items = cfg.bloom_expected_items // cfg.seen_partitions
+        blooms = pinned if pinned is not None else self._update_blooms_pinned()
         if redirect_terminals is not None:
             blooms = D.merge_bloom_partitions(
                 blooms,
@@ -633,10 +671,21 @@ class Crawler:
 
     def _ensure_state(self) -> None:
         if self.frontier is None:
-            self.frontier = self._pin(self._seed_frontier())
+            self._queued = self._pin(self._seed_frontier())
+            self._term_parts = []
+            self._rebuild_frontier_view()
             self.resources = self.spark.createDataFrame([], RESOURCES_SCHEMA)
             self.order = self.spark.createDataFrame([], ORDER_SCHEMA)
             self._queued_count = len(self.cfg.all_seeds())
+        elif self._queued is None:
+            # state arrived as one snapshot (resume): derive the split
+            # lazily — both filters read the same parquet/pin
+            self._queued = self.frontier.filter(
+                F.col("status") == STATUS_QUEUED
+            )
+            self._term_parts = [
+                self.frontier.filter(F.col("status") != STATUS_QUEUED)
+            ]
 
     def add_seeds(self, seeds: list[str]) -> None:
         """Enqueue more seeds mid-crawl (the streaming-ingest path). Unlike
@@ -663,7 +712,8 @@ class Crawler:
         n = fresh.count()
         self.next_seq += len(rows)  # seq values are unique, not dense
         if n:
-            self.frontier = self._pin(self.frontier.unionByName(fresh))
+            self._queued = self._pin(self._queued.unionByName(fresh))
+            self._rebuild_frontier_view()
             if self._queued_count is not None:
                 self._queued_count += n
 
@@ -682,17 +732,25 @@ class Crawler:
             while not stop and self.superstep < self.cfg.max_supersteps:
                 if self._queued_count <= 0:
                     break
-                queued = self.frontier.filter(
-                    F.col("status") == STATUS_QUEUED
-                )
-                batch = self._pick_batch(queued)
+                # the politeness pick reads ONLY the active set — terminal
+                # rows never re-enter the queue, so they never re-enter
+                # the pick's windows either
+                batch = self._pick_batch(self._queued)
                 self.superstep += 1
                 stop = self._superstep(batch)
                 m = self.metrics[-1]
                 self._queued_count += (
                     m["requeued"] + m["new_urls"] - m["batch"]
                 )
+                t_ck = time.monotonic()
                 self._checkpoint_state()
+                if "trace" in m:
+                    m["trace"]["checkpoint"] = round(
+                        time.monotonic() - t_ck, 3
+                    )
+                    m["wall_s_with_checkpoint"] = round(
+                        m["wall_s"] + time.monotonic() - t_ck, 3
+                    )
                 # the frontier pin above materialized this superstep's
                 # bloom-probe plan — its broadcast can go now (else a
                 # long crawl accumulates one broadcast per superstep)
@@ -712,6 +770,14 @@ class Crawler:
         trace: dict[str, float] = {}
         k = self.superstep
         cfg = self.cfg
+        # the pinned bloom merge depends only on LAST superstep's frontier
+        # — start it now on the helper thread so the filter build/merge
+        # overlaps the fetch join + extraction below instead of
+        # serializing after them
+        bloom_future = (
+            self._pool.submit(self._update_blooms_pinned)
+            if cfg.use_bloom and cfg.crawl else None
+        )
         # batch is NOT materialized: its only computed consumer is the fetch
         # join below (the order log and the stop-url probe both read the
         # pinned `fetched` instead), and the politeness-window shuffles are
@@ -897,11 +963,24 @@ class Crawler:
                 "job_id",
             )
 
-        new_frontier = self.frontier.join(
+        # MERGE, split by status (Iceberg shape): every upd row was picked
+        # from the ACTIVE set, so only the active set is rewritten —
+        # (queued ⊲ batch urls) ∪ requeues; rows that reached a terminal
+        # status append as a lazy projection of the pinned `fetched` and
+        # are never rewritten again. The old full-frontier anti-join
+        # rewrote every url ever seen, every superstep.
+        upd_rows = upd.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        new_queued = self._queued.join(
             upd.select("url"), "url", "left_anti"
-        ).unionByName(upd.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+        ).unionByName(upd_rows.filter(F.col("status") == STATUS_QUEUED))
+        new_term = self._term_parts + [
+            upd_rows.filter(F.col("status") != STATUS_QUEUED)
+        ]
         if redirect_terminals is not None:
-            new_frontier = new_frontier.unionByName(redirect_terminals)
+            new_term.append(redirect_terminals)
+        new_frontier = new_queued
+        for p in new_term:
+            new_frontier = new_frontier.unionByName(p)
 
         # ---- expansion (F1/F13 + P7 + D1 + D2)
         n_new = 0
@@ -919,15 +998,23 @@ class Crawler:
                 "host", canonical_host_col(F.col("url"))
             )
             cands = P.apply_robots(cands, self.robots)
-            cands = D.dedup_within_batch(cands)
+            # part_id BEFORE dedup, and dedup groups on (part_id, url):
+            # part_id is a pure function of url so the groups are the
+            # same, but the aggregate output then carries the anti-join's
+            # partitioning — dedup and anti-join share ONE shuffle of the
+            # candidate stream (the loop's highest-volume exchange)
             cands = cands.withColumn(
                 "part_id", self._part_id_col(F.col("host"), F.col("url"))
             )
+            cands = D.dedup_within_batch(cands, ("part_id", "url"))
             seen = new_frontier.select("part_id", "url")
             blooms = None
             filters_bytes = None
             if cfg.use_bloom:
-                blooms = self._update_blooms(redirect_terminals)
+                blooms = self._update_blooms(
+                    redirect_terminals, pinned=bloom_future.result()
+                )
+                trace["bloom_update"] = round(time.monotonic() - t0, 3)
                 # config-derived (deterministic across cluster sizes)
                 filters_bytes = cfg.seen_partitions * (
                     (max(cfg.bloom_num_bits, 1024) + 7) // 8
@@ -944,6 +1031,7 @@ class Crawler:
                 start=self.next_seq,
                 return_count=True,
                 materialize=False,
+                trace=trace,
             )
             trace["seq_assign"] = round(time.monotonic() - t0, 3)
             new_rows = fresh.select(
@@ -958,9 +1046,11 @@ class Crawler:
                 F.lit(cfg.job_id).alias("job_id"),
             )
             self.next_seq += n_new
-            new_frontier = new_frontier.unionByName(new_rows)
+            new_queued = new_queued.unionByName(new_rows)
 
-        self.frontier = new_frontier
+        self._queued = new_queued
+        self._term_parts = new_term
+        self._rebuild_frontier_view()
 
         # ---- crawl-order log + metrics (order derives from the PINNED
         # fetched — free to re-read — so the unpinned batch has exactly one
@@ -1024,10 +1114,17 @@ class Crawler:
 
     def _checkpoint_state(self) -> None:
         if not self.workdir:
-            # frontier is re-read every superstep: checkpoint it to cut
-            # lineage. resources/order parts stay lazy (their inputs are
-            # already localCheckpointed per superstep via `fetched`/`batch`).
-            self.frontier = self._pin(self.frontier)
+            # only the ACTIVE set is re-read (and thus pinned) every
+            # superstep; terminal parts are lazy projections of pinned
+            # `fetched`, compacted once enough accumulate so seen-set
+            # plans stay shallow. resources/order parts stay lazy too.
+            self._queued = self._pin(self._queued)
+            if len(self._term_parts) > self._TERM_COMPACT:
+                merged = self._term_parts[0]
+                for p in self._term_parts[1:]:
+                    merged = merged.unionByName(p)
+                self._term_parts = [self._pin(merged)]
+            self._rebuild_frontier_view()
             return
         k = self.superstep
         base = os.path.join(self.workdir, f"superstep={k:05d}")
@@ -1040,6 +1137,12 @@ class Crawler:
         self.frontier = self.spark.read.schema(self.frontier.schema).parquet(
             os.path.join(base, "frontier")
         )
+        # re-derive the split from the snapshot (both filters read the
+        # same parquet — the durable store replaces the in-memory pins)
+        self._queued = self.frontier.filter(F.col("status") == STATUS_QUEUED)
+        self._term_parts = [
+            self.frontier.filter(F.col("status") != STATUS_QUEUED)
+        ]
         # per-partition lineage (SURVEY F17: the Iceberg manifest table
         # shape (superstep, snapshot_id, rows_in, rows_out)): row counts per
         # seen-set partition of the frontier snapshot just written — a
@@ -1113,6 +1216,8 @@ class Crawler:
         c.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
             os.path.join(last["path"], "frontier")
         )
+        c._queued = c.frontier.filter(F.col("status") == STATUS_QUEUED)
+        c._term_parts = [c.frontier.filter(F.col("status") != STATUS_QUEUED)]
         backoff = last.get("backoff_hosts") or []
         if backoff:
             c._backoff_hosts = spark.createDataFrame(
