@@ -414,9 +414,43 @@ def _crawl_bfs(spark, sf_dir):
     )
 
 
+#: robots fixture rules for the robots_gate oracle query — covers the RFC
+#: 9309 §2.2.2 cases: Allow under Disallow:/ (h0), longer Disallow
+#: re-blocking an Allow subtree (h0 '/src1/1'), plain Disallow (h1),
+#: exact-length tie going to Allow (h2), no rules (h3).
+_ROBOTS_RULES = [
+    ("h0.test", "/", False),
+    ("h0.test", "/src1/", True),
+    ("h0.test", "/src1/1", False),
+    ("h1.test", "/src2", False),
+    ("h2.test", "/", True),
+    ("h2.test", "/", False),
+]
+
+
+def _robots_gate(spark, sf_dir):
+    """RFC 9309 longest-match robots gate (operators.politeness.
+    apply_robots) over candidate urls derived from documents: longest
+    matching prefix wins, ties go to Allow, unmatched urls pass."""
+    from walk_spark.operators.politeness import apply_robots
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"),
+                    F.lit(".test"))
+    cands = d.select(
+        F.concat(F.lit("http://"), host, F.lit("/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        host.alias("host"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, disallow_prefix string, allow boolean"
+    )
+    return apply_robots(cands, rules).select("url").orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
+        "robots_gate": _robots_gate,
         "seen_anti_join": _seen_anti_join,
         "inbound_links": _inbound_links,
         "argmax_latest": _argmax_latest,
@@ -547,7 +581,33 @@ def _bfs_order_sql(supersteps: int = 3, out_deg: int = 4, hosts: int = 16,
 def oracle_sql() -> dict[str, str]:
     stops = _STOPS_SQL
     toks = _TOKENS_SQL
+    robots_rules = ", ".join(
+        f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _ROBOTS_RULES
+    )
     return {
+        "robots_gate": f"""
+            WITH cand AS (
+              SELECT 'h' || CAST(doc_id % 4 AS VARCHAR) || '.test' AS host,
+                     'http://h' || CAST(doc_id % 4 AS VARCHAR) || '.test/'
+                       || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                     '/' || source || '/' || CAST(doc_id AS VARCHAR) AS path
+              FROM documents),
+            rules(host, prefix, allow) AS (VALUES {robots_rules}),
+            m AS (
+              SELECT c.url, r.prefix, r.allow,
+                     row_number() OVER (
+                       PARTITION BY c.url
+                       ORDER BY length(r.prefix) DESC, r.allow DESC
+                     ) AS rn
+              FROM cand c JOIN rules r
+                ON c.host = r.host
+               AND substr(c.path, 1, length(r.prefix)) = r.prefix)
+            SELECT url FROM cand
+            WHERE url NOT IN (SELECT url FROM m)
+            UNION ALL
+            SELECT url FROM m WHERE rn = 1 AND allow
+            ORDER BY url
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

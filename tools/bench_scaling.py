@@ -222,6 +222,10 @@ def main() -> None:
         "detail": {"N": r8, "4N": r32},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # consecutive-run evidence: BASELINE.md is overwritten per run, so each
+    # run's summary is also appended to a log the cross-run table cites
+    with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
+        f.write(json.dumps(summary) + "\n")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
