@@ -6,21 +6,30 @@ deterministic input at two local parallelism levels (local[8] = N,
 local[32] = 4N), reporting throughput at both, scaling efficiency, and a
 crawl-order hash equality check (byte-identical ordering across parallelism).
 
-Methodology notes (all disclosed in BENCH/BASELINE.md):
-- Each level runs in its own subprocess (one JVM per master setting).
-- The input corpus is materialized (``Crawler.warm()``) BEFORE the clock
-  starts: at production scale the pages table is an existing warehouse
-  table; generating it is not crawl work.
-- Per level the crawl runs ``reps`` times in the same JVM and the BEST rep
-  counts: this VM shows ~20% run-to-run variance (SMT scheduling, JIT, GC
-  timing), and peak throughput is the capability being compared. All rep
-  times are recorded.
-- A hardware-ceiling calibration (pure multiprocessing, no Spark) runs per
-  invocation: the VM's 32 vCPUs are SMT-limited, so even perfectly parallel
-  code cannot show 4x from 8 -> 32 workers. Efficiency is reported raw and
-  normalized to that measured ceiling.
+Methodology (v3, all numbers disclosed in BENCH/BASELINE.md):
 
-Usage: python tools/bench_scaling.py [n_urls] [N_cpus] [4N_cpus] [reps]
+- INTERLEAVED PAIRS. This VM's speed drifts on a minutes scale (co-tenancy,
+  frequency scaling): round-2 runs measured all N reps first and all 4N reps
+  20+ minutes later, so box-speed drift landed asymmetrically on one level
+  and swung raw efficiency 0.49-0.57 run to run. v3 keeps one persistent
+  JVM per level and alternates reps N,4N,N,4N,...; efficiency is computed
+  per temporally-adjacent pair (wall_N / (4 * wall_4N)) and the HEADLINE is
+  the MEDIAN pair - robust to any single slow window, and fair because each
+  pair shares the same few-minute slice of box speed. The idle JVM holds
+  only its corpus cache (no running jobs) while the other measures.
+- CEILING AS A MEDIAN. Even perfectly-parallel multiprocessing cannot show
+  4x from 8 -> 32 workers on this 32-vCPU / 16-physical-core box (SMT, one
+  memory bus). The ceiling itself is sampled before / mid / after the
+  pairs and the MEDIAN is used; a sample with efficiency > 1.0 is
+  physically impossible (its 8-proc baseline was co-tenant-contaminated)
+  and is excluded from the median but still disclosed.
+- The input corpus is materialized (``Crawler.warm()``) per JVM BEFORE any
+  clock: at production scale the pages table is an existing warehouse
+  table; generating it is not crawl work.
+- Each rep constructs a fresh Crawler; Spark's cache manager re-serves the
+  persisted corpus by canonicalized plan, so only crawl work is timed.
+
+Usage: python tools/bench_scaling.py [n_urls] [N_cpus] [4N_cpus] [reps] [use_bloom]
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ from __future__ import annotations
 import json
 import multiprocessing as _mp
 import os
+import statistics
 import subprocess
 import sys
 import time as _time
@@ -81,16 +91,18 @@ def parse_calibration(procs: int, per: int = 3000) -> float:
         p.map(_parse_pages, [per] * procs * 4)
     return procs * 4 * per / (_time.monotonic() - t0)
 
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent per-level worker: one JVM, command loop on stdin. Protocol
+# lines on stdout are prefixed '@@' so Spark/py4j noise can't be mistaken
+# for a response. Commands: warm | rep | rep_hash | quit.
 WORKER = r"""
 import json, sys, time, hashlib
-sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 
-cpus, n_urls, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-use_bloom = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
-spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+cpus, n_urls, use_bloom = int(sys.argv[1]), int(sys.argv[2]), bool(int(sys.argv[3]))
+spark = (SparkSession.builder.master(f"local[{cpus}]")
          .appName("walk_spark-scaling")
          # the JOB config is held constant across cluster sizes — only the
          # executor count varies, as on a real cluster
@@ -112,173 +124,266 @@ pages = skewed_corpus(spark, n_urls=n_urls, n_hosts=n_hosts, out_degree=8,
 # cluster size can parallelize
 def mk_cfg():
     return CrawlConfig(seeds=[skewed_url(i, n_hosts) for i in range(1000)],
-                       domains=[f"http://host{{h}}.test" for h in range(n_hosts)],
+                       domains=[f"http://host{h}.test" for h in range(n_hosts)],
                        record_redirects=False, seen_partitions=32,
                        use_bloom=use_bloom,
                        dedup_pages=False)  # generator guarantees unique urls
 
-import statistics
-best = None
-rep_walls = []
-for rep in range(reps):
-    c = Crawler(spark, pages, mk_cfg())
-    if rep == 0:
-        c.warm()  # input-table residency is not crawl work (see module doc)
-    t0 = time.monotonic()
-    r = c.run()
-    dt = time.monotonic() - t0
-    fetched = sum(m["batch"] for m in r.metrics)
-    rep_walls.append(round(dt, 2))
-    if best is None or dt < best[0]:
-        order = r.order.orderBy("superstep", "discovery_seq", "url").collect()
-        h = hashlib.sha256()
-        for x in order:
-            h.update(f'{{x["superstep"]}}|{{x["discovery_seq"]}}|{{x["url"]}}\n'.encode())
-        best = (dt, fetched, len(r.metrics),
-                [m["wall_s"] for m in r.metrics], len(order), h.hexdigest())
+def send(obj):
+    sys.stdout.write("@@" + json.dumps(obj) + "\n")
+    sys.stdout.flush()
 
-dt, fetched, n_steps, per_step, n_order, order_hash = best
-# median over post-warmup reps (rep 0 pays JIT compilation — local[32]
-# especially; see BASELINE.md warmup note). The HEADLINE efficiency is
-# computed from medians; best-of is kept as a secondary 'peak' figure —
-# best-of-N favors the level with more variance (advisor finding).
-steady = rep_walls[1:] if len(rep_walls) > 1 else rep_walls
-med_dt = statistics.median(steady)
-print(json.dumps({{
-    "cpus": cpus, "n_urls": n_urls, "fetched": fetched, "use_bloom": use_bloom,
-    "wall_s": round(dt, 2), "urls_per_sec": round(fetched / dt, 1),
-    "median_wall_s": round(med_dt, 2),
-    "median_urls_per_sec": round(fetched / med_dt, 1),
-    "supersteps": n_steps, "per_superstep": per_step,
-    "rep_walls": rep_walls,
-    "order_rows": n_order, "order_hash": order_hash,
-}}))
+for line in sys.stdin:
+    cmd = line.strip()
+    if cmd == "quit":
+        break
+    if cmd == "warm":
+        Crawler(spark, pages, mk_cfg()).warm()
+        send({"ok": "warm"})
+        continue
+    if cmd in ("rep", "rep_hash"):
+        c = Crawler(spark, pages, mk_cfg())
+        t0 = time.monotonic()
+        r = c.run()
+        dt = time.monotonic() - t0
+        out = {
+            "wall_s": round(dt, 2),
+            "fetched": sum(m["batch"] for m in r.metrics),
+            "supersteps": len(r.metrics),
+            "per_superstep": [m["wall_s"] for m in r.metrics],
+        }
+        if cmd == "rep_hash":  # outside the clock
+            order = r.order.orderBy(
+                "superstep", "discovery_seq", "url").collect()
+            h = hashlib.sha256()
+            for x in order:
+                h.update(
+                    f'{x["superstep"]}|{x["discovery_seq"]}|{x["url"]}\n'
+                    .encode())
+            out["order_rows"] = len(order)
+            out["order_hash"] = h.hexdigest()
+        send(out)
 spark.stop()
 """
 
 
-def run_level(cpus: int, n_urls: int, reps: int,
-              use_bloom: bool = True) -> dict:
-    script = WORKER.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_urls), str(reps),
-         str(int(use_bloom))],
-        capture_output=True, text=True, timeout=5400,
-        env={**os.environ, "PYTHONPATH": REPO},
-    )
-    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-    if not lines:
-        raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
-    return json.loads(lines[-1])
+class Level:
+    """Driver-side handle on one persistent worker JVM."""
+
+    def __init__(self, cpus: int, n_urls: int, use_bloom: bool):
+        self.cpus = cpus
+        self.proc = subprocess.Popen(
+            [sys.executable, "-u", "-c", WORKER, str(cpus), str(n_urls),
+             str(int(use_bloom))],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+
+    def _cmd(self, cmd: str) -> dict:
+        self.proc.stdin.write(cmd + "\n")
+        self.proc.stdin.flush()
+        for line in self.proc.stdout:
+            if line.startswith("@@"):
+                return json.loads(line[2:])
+        raise RuntimeError(
+            f"worker local[{self.cpus}] died (cmd={cmd}, "
+            f"rc={self.proc.poll()})")
+
+    def warm(self) -> None:
+        self._cmd("warm")
+
+    def rep(self, with_hash: bool = False) -> dict:
+        return self._cmd("rep_hash" if with_hash else "rep")
+
+    def quit(self) -> None:
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def ceiling_sample(n_cpus: int, n4_cpus: int) -> dict:
+    cn, c4 = cpu_calibration(n_cpus), cpu_calibration(n4_cpus)
+    pn, p4 = parse_calibration(n_cpus), parse_calibration(n4_cpus)
+    return {"cpu": round(c4 / (4 * cn), 3),
+            "kernel": round(p4 / (4 * pn), 3)}
+
+
+def robust_ceiling(samples: list[float]) -> tuple[float, list[float]]:
+    """Median of the physically-possible samples: efficiency > 1.0 means
+    the sample's own small-proc baseline was contaminated by co-tenant
+    load — exclude it (disclosed) unless that would exclude everything."""
+    ok = [s for s in samples if s <= 1.0]
+    dropped = [s for s in samples if s > 1.0]
+    return statistics.median(ok if ok else samples), dropped
 
 
 def main() -> None:
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n4_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_cpus
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     use_bloom = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
-    # the VM's achievable parallel speedup DRIFTS over time (frequency
-    # scaling / co-tenancy): calibrate BOTH ceilings before and after the
-    # measured levels and use the mean, reporting each sample
-    def _ceilings():
-        cn, c4 = cpu_calibration(n_cpus), cpu_calibration(n4_cpus)
-        pn, p4 = parse_calibration(n_cpus), parse_calibration(n4_cpus)
-        return c4 / (4 * cn), p4 / (4 * pn)
 
-    hw_a, kern_a = _ceilings()
-    r8 = run_level(n_cpus, n_urls, reps, use_bloom)
-    r32 = run_level(n4_cpus, n_urls, reps, use_bloom)
-    hw_b, kern_b = _ceilings()
-    hw_eff = (hw_a + hw_b) / 2
-    kern_eff = (kern_a + kern_b) / 2
-    # HEADLINE efficiency from median post-warmup reps (best-of-N
-    # systematically favors the higher-variance level); best-of kept as
-    # the secondary 'peak' figure
-    eff = r32["median_urls_per_sec"] / (4 * r8["median_urls_per_sec"])
-    peak_eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
-    same_order = r8["order_hash"] == r32["order_hash"]
+    lo = Level(n_cpus, n_urls, use_bloom)
+    hi = Level(n4_cpus, n_urls, use_bloom)
+    try:
+        lo.warm()
+        hi.warm()
+        ceilings = [ceiling_sample(n_cpus, n4_cpus)]
+        pairs = []
+        for i in range(reps):
+            want_hash = i == reps - 1
+            rN = lo.rep(with_hash=want_hash)
+            r4 = hi.rep(with_hash=want_hash)
+            pairs.append((rN, r4))
+            if i == reps // 2 - 1 or i == reps - 1:
+                ceilings.append(ceiling_sample(n_cpus, n4_cpus))
+    finally:
+        lo.quit()
+        hi.quit()
+
+    fetched = pairs[0][0]["fetched"]
+    pair_effs = [round(rN["wall_s"] / (4 * r4["wall_s"]), 3)
+                 for rN, r4 in pairs]
+    eff = statistics.median(pair_effs)
+    walls_N = [rN["wall_s"] for rN, _ in pairs]
+    walls_4 = [r4["wall_s"] for _, r4 in pairs]
+    med_N, med_4 = statistics.median(walls_N), statistics.median(walls_4)
+    kern_med, kern_drop = robust_ceiling([c["kernel"] for c in ceilings])
+    cpu_med, cpu_drop = robust_ceiling([c["cpu"] for c in ceilings])
+    last_N, last_4 = pairs[-1]
+    same_order = last_N.get("order_hash") == last_4.get("order_hash")
+
     summary = {
+        "protocol": "interleaved-pairs-v3",
         "n_urls": n_urls,
         "levels": [n_cpus, n4_cpus],
         "reps": reps,
         "use_bloom": use_bloom,
-        "throughput_N": r8["median_urls_per_sec"],
-        "throughput_4N": r32["median_urls_per_sec"],
-        "peak_throughput_N": r8["urls_per_sec"],
-        "peak_throughput_4N": r32["urls_per_sec"],
+        "throughput_N": round(fetched / med_N, 1),
+        "throughput_4N": round(fetched / med_4, 1),
+        "peak_throughput_N": round(fetched / min(walls_N), 1),
+        "peak_throughput_4N": round(fetched / min(walls_4), 1),
+        "pair_efficiencies": pair_effs,
         "scaling_efficiency": round(eff, 3),
-        "peak_scaling_efficiency": round(peak_eff, 3),
-        "cpu_ceiling_efficiency": round(hw_eff, 3),
-        "kernel_ceiling_efficiency": round(kern_eff, 3),
-        "ceiling_samples": {
-            "cpu_before": round(hw_a, 3), "cpu_after": round(hw_b, 3),
-            "kernel_before": round(kern_a, 3),
-            "kernel_after": round(kern_b, 3),
-        },
-        "normalized_to_cpu_ceiling": round(eff / hw_eff, 3),
-        "normalized_to_kernel_ceiling": round(eff / kern_eff, 3),
+        "ratio_of_medians_efficiency": round(med_N / (4 * med_4), 3),
+        "cpu_ceiling_efficiency": cpu_med,
+        "kernel_ceiling_efficiency": kern_med,
+        "ceiling_samples": ceilings,
+        "ceiling_samples_dropped": {"cpu": cpu_drop, "kernel": kern_drop},
+        "normalized_to_cpu_ceiling": round(eff / cpu_med, 3),
+        "normalized_to_kernel_ceiling": round(eff / kern_med, 3),
         "order_identical_across_parallelism": same_order,
-        "detail": {"N": r8, "4N": r32},
+        "detail": {
+            "N": {"cpus": n_cpus, "rep_walls": walls_N,
+                  "per_superstep_last": last_N["per_superstep"],
+                  "order_hash": last_N.get("order_hash")},
+            "4N": {"cpus": n4_cpus, "rep_walls": walls_4,
+                   "per_superstep_last": last_4["per_superstep"],
+                   "order_hash": last_4.get("order_hash")},
+        },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # consecutive-run evidence: BASELINE.md is overwritten per run, so each
     # run's summary is also appended to a log the cross-run table cites
     with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
         f.write(json.dumps(summary) + "\n")
+    history = []
+    with open(os.path.join(REPO, "BENCH", "runs.jsonl")) as f:
+        for ln in f:
+            history.append(json.loads(ln))
+    hist_rows = "\n".join(
+        "| {i} | {proto} | {tn} | {t4} | {raw} | {kc} | {norm} |".format(
+            i=i + 1,
+            proto=h.get("protocol", "sequential-v2"),
+            tn=h["throughput_N"], t4=h["throughput_4N"],
+            raw=h["scaling_efficiency"],
+            kc=h["kernel_ceiling_efficiency"],
+            norm=h["normalized_to_kernel_ceiling"],
+        )
+        for i, h in enumerate(history)
+    )
+    pair_rows = "\n".join(
+        f"| {i + 1} | {rN['wall_s']} | {r4['wall_s']} | {pair_effs[i]} |"
+        for i, (rN, r4) in enumerate(pairs)
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
-Protocol (BASELINE.md "Sandbox evidencing protocol"): same crawl job, same
-deterministic synthetic input ({n_urls} urls, 64 hosts, hot host 0 holding
-~50%, out-degree 8), bloom prefilter {'ON (the 10^10-scale path)' if use_bloom else 'OFF'},
-run at local[{n_cpus}] (N) and local[{n4_cpus}] (4N), one JVM each. The
-input corpus is warmed before the clock (it models an existing warehouse
-table, not crawl work); each level runs {reps} reps in one JVM. The
-HEADLINE throughput is the MEDIAN of the post-warmup reps (rep 0 pays JIT
-compilation); best-of-reps is disclosed as a secondary "peak" figure only —
-best-of-N systematically favors the higher-variance level, so efficiency is
-computed from medians. This VM shows ~20% run-to-run variance — all reps
-listed below.
+Protocol (BASELINE.md "Sandbox evidencing protocol", v3 interleaved): same
+crawl job, same deterministic synthetic input ({n_urls} urls, 64 hosts, hot
+host 0 holding ~50%, out-degree 8), bloom prefilter
+{'ON (the 10^10-scale path)' if use_bloom else 'OFF'}, one persistent JVM
+per level (local[{n_cpus}] = N, local[{n4_cpus}] = 4N), corpus warmed per
+JVM before any clock (it models an existing warehouse table, not crawl
+work). Reps ALTERNATE between the levels — N, 4N, N, 4N, ... — so each
+temporally-adjacent pair shares the same few-minute slice of this VM's
+drifting speed (round-2's sequential protocol measured the levels 20+
+minutes apart and co-tenancy drift swung raw efficiency 0.49-0.57 run to
+run). The HEADLINE efficiency is the MEDIAN per-pair efficiency
+wall_N / (4 x wall_4N); every pair is listed.
 
-| level | cpus | urls fetched | median wall (s) | median urls/sec | peak urls/sec | supersteps | all reps (s) |
-|---|---|---|---|---|---|---|---|
-| N  | {n_cpus}  | {r8['fetched']} | {r8['median_wall_s']} | {r8['median_urls_per_sec']} | {r8['urls_per_sec']} | {r8['supersteps']} | {r8['rep_walls']} |
-| 4N | {n4_cpus} | {r32['fetched']} | {r32['median_wall_s']} | {r32['median_urls_per_sec']} | {r32['urls_per_sec']} | {r32['supersteps']} | {r32['rep_walls']} |
+| pair | N wall (s) | 4N wall (s) | pair efficiency |
+|---|---|---|---|
+{pair_rows}
 
-- **scaling efficiency (median urls_per_sec_4N / (4 × median urls_per_sec_N))
-  = {eff:.3f}** (peak-based: {peak_eff:.3f})
+| level | cpus | urls fetched | median wall (s) | median urls/sec | peak urls/sec | all reps (s) |
+|---|---|---|---|---|---|---|
+| N  | {n_cpus}  | {fetched} | {med_N} | {fetched / med_N:.1f} | {fetched / min(walls_N):.1f} | {walls_N} |
+| 4N | {n4_cpus} | {fetched} | {med_4} | {fetched / med_4:.1f} | {fetched / min(walls_4):.1f} | {walls_4} |
+
+- **scaling efficiency (median of per-pair wall_N / (4 x wall_4N)) =
+  {eff:.3f}** (ratio-of-medians: {med_N / (4 * med_4):.3f}; all pairs:
+  {pair_effs})
 - **hardware ceilings on this VM (no Spark, pure multiprocessing of
-  perfectly-parallel code, {n_cpus}->{n4_cpus} procs; the VM's achievable
-  speedup drifts over time, so each ceiling is the mean of a sample before
-  and after the measured levels — samples: cpu {hw_a:.3f}/{hw_b:.3f},
-  kernel {kern_a:.3f}/{kern_b:.3f}):**
-  - integer-loop CPU kernel: **{hw_eff:.3f}**
-  - the crawl's own html-parse/extract kernel: **{kern_eff:.3f}**
+  perfectly-parallel code, {n_cpus}->{n4_cpus} procs): the VM's achievable
+  speedup drifts, so the ceiling is the MEDIAN of samples taken before,
+  mid-run and after the pairs; a sample > 1.0 is physically impossible
+  (its {n_cpus}-proc baseline was slowed by co-tenant load) and is
+  excluded, but disclosed. Samples: {ceilings}; excluded:
+  cpu {cpu_drop}, kernel {kern_drop}.**
+  - integer-loop CPU kernel: **{cpu_med:.3f}**
+  - the crawl's own html-parse/extract kernel: **{kern_med:.3f}**
     (string/memory-bound work gains ~nothing from SMT on these
-    {n4_cpus}-vCPU/{n4_cpus//2}-physical-core boxes; a real 4x cluster
+    {n4_cpus}-vCPU/{n4_cpus // 2}-physical-core boxes; a real 4x cluster
     multiplies memory buses, local threads share one — this is the honest
     ceiling for a crawl pipeline)
-- **efficiency normalized to the CPU ceiling = {eff/hw_eff:.3f}; to the
-  workload-kernel ceiling = {eff/kern_eff:.3f}** (target ≥ 0.8)
+- **efficiency normalized to the CPU ceiling = {eff / cpu_med:.3f}; to the
+  workload-kernel ceiling = {eff / kern_med:.3f}** (target >= 0.8)
 - **crawl order byte-identical across parallelism: {same_order}**
   (sha256 over the canonical (superstep, discovery_seq, url) sequence:
-  `{r8['order_hash'][:16]}…` at both levels)
+  `{str(last_N.get('order_hash'))[:16]}…` at both levels)
 
-Per-superstep wall (s), local[{n_cpus}]:  {r8['per_superstep']}
-Per-superstep wall (s), local[{n4_cpus}]: {r32['per_superstep']}
+Per-superstep wall (s), local[{n_cpus}]:  {last_N['per_superstep']}
+Per-superstep wall (s), local[{n4_cpus}]: {last_4['per_superstep']}
+
+## Cross-run transparency (BENCH/runs.jsonl, appended per protocol run)
+
+| run | protocol | N urls/s | 4N urls/s | raw eff | kernel ceiling | normalized |
+|---|---|---|---|---|---|---|
+{hist_rows}
+
+Rounds 1-2 (sequential protocol, best-of/median-of-reps — see git history
+of this file): raw 0.505-0.569, normalized 0.72-0.89, with the two levels
+measured 20+ minutes apart and the ceiling sampled only at the run's edges;
+the sequential runs' spread motivated the v3 interleaved protocol above.
 
 Caveats: (a) local-mode threads share one JVM, one driver, one Python-worker
 pool and one memory bus — per-superstep fixed costs (driver scheduling,
 Arrow batch setup, the ~4 jobs/superstep of the BSP loop) don't shrink with
-more threads, while on a real 4× cluster scan/shuffle bandwidth grows with
+more threads, while on a real 4x cluster scan/shuffle bandwidth grows with
 the cluster; (b) the data-parallel stages (fetch join, extraction UDF,
 dedup anti-join, sequence ranking) are partition-parallel with no
 cross-partition communication beyond their hash shuffles, which is the
-property that transfers to a 1000-executor cluster. The big supersteps (4-5,
-~95% of fetched urls) individually scale at 3.1-3.3x per 4x cores — the
-residual gap is the small early supersteps (BFS ramp-up from the seed list),
-whose batch sizes no cluster can parallelize. Larger inputs amortize them.
+property that transfers to a 1000-executor cluster. The residual gap to the
+kernel ceiling is the small early supersteps (BFS ramp-up from the seed
+list), whose batch sizes no cluster size can parallelize, plus the idle-JVM
+caveat: the paired design keeps ~{n_urls} cached corpus rows resident in
+BOTH JVMs, a memory-pressure cost the sequential design didn't pay.
 """)
     print(json.dumps(summary))
 
