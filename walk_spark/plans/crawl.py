@@ -578,7 +578,9 @@ class Crawler:
         With ``fetch_mode='http'`` this dispatches to live GETs instead —
         same output columns, same downstream superstep."""
         if self.cfg.fetch_mode == "http":
-            return self._fetch_http(batch)
+            # live GETs produce rows host-grouped by the politeness pick —
+            # spread them before extraction (no corpus to co-partition with)
+            return self._fetch_http(batch).repartition(self._pin_parts)
         b = batch.withColumn("url_norm", _norm_udf(F.col("url")))
         chains = self._redirect_chains()
         self._hop_rows = None
@@ -616,6 +618,17 @@ class Crawler:
             ).withColumn(
                 "redirect_from", F.lit(None).cast("string")
             ).withColumn("_redirect_err", F.lit(None).cast("string"))
+        # An EXPLICIT repartition on the join key, same width as the
+        # persisted corpus (AQE never coalesces a user repartition): the
+        # join is then exactly co-partitioned — hash(final_url_norm, P) ==
+        # hash(p_url_norm, P) — so the html-bearing corpus rows flow scan →
+        # join → extraction → pin inside ONE stage. Before this, the join
+        # output was repartitioned post-hoc to spread extraction, pushing
+        # every joined html byte (~GBs per superstep) through a second
+        # full shuffle — pure memory-bus traffic that scaled at ~1x with
+        # cores. The batch side (narrow rows) is the only thing shuffled,
+        # and both the hits and misses joins reuse this one exchange.
+        b = b.repartition(self._pin_parts, "final_url_norm")
         # content join, structured as INNER + miss-anti instead of LEFT
         # OUTER: an outer join forces sort-merge with the corpus side sorted
         # (html bytes!) every superstep — measured 4x slowdown at high
@@ -784,12 +797,13 @@ class Crawler:
         # reused across the hits/misses branches (ReusedExchange). One fewer
         # eager job per superstep — fixed cost that never shrank with cores.
 
-        # extraction is the CPU-dominant stage: spread it across the full
-        # cluster width explicitly — AQE coalesces the fetch-join output to
-        # ~64MB partitions, which on html-sized rows means a handful of
-        # tasks no matter how many cores exist (measured: scaling efficiency
-        # 0.25 before, because 70k-page extractions ran on 2 tasks)
-        fetched = self._fetch(batch).repartition(self._pin_parts)
+        # extraction is the CPU-dominant stage: _fetch guarantees its
+        # output is already _pin_parts wide (batch repartitioned onto the
+        # corpus partitioning before the join — no html re-shuffle; AQE
+        # would otherwise coalesce html-sized rows onto a handful of tasks:
+        # measured scaling efficiency 0.25 with 70k-page extractions on 2
+        # tasks)
+        fetched = self._fetch(batch)
         # extraction — one Arrow pass over the joined html column. Relative
         # hrefs resolve against the page's OWN url (p_url): the simulated
         # server serves norm-equivalent url forms for the same content, like
