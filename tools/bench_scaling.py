@@ -23,6 +23,16 @@ Methodology (v3, all numbers disclosed in BENCH/BASELINE.md):
   pairs and the MEDIAN is used; a sample with efficiency > 1.0 is
   physically impossible (its 8-proc baseline was co-tenant-contaminated)
   and is excluded from the median but still disclosed.
+- PER-PAIR NORMALIZATION. The interference is memory-bus-shaped: across
+  protocol runs the integer-loop ceiling is stable (~0.8) while the
+  memory-bound parse-kernel ceiling swings 0.54-1.13 sample to sample —
+  and the crawl, also memory-bound, swings with it (identical N-level
+  reps 190-272 s). So each pair i carries its own kernel ceiling sample
+  k_i measured in the same time window, and the pair's normalized
+  efficiency is raw_i / min(k_i, 1.0); the run's normalized headline is
+  the median over pairs whose k_i was physically possible. This cancels
+  window-local box speed the way a per-batch control cancels batch
+  effects.
 - The input corpus is materialized (``Crawler.warm()``) per JVM BEFORE any
   clock: at production scale the pages table is an existing warehouse
   table; generating it is not crawl work.
@@ -108,7 +118,9 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          # executor count varies, as on a real cluster
          .config("spark.sql.shuffle.partitions", "32")
          .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.driver.memory", "16g")
+         # 32 threads allocate fast; a 16g heap made GC pauses a visible
+         # variance source at the 4N level (held constant across levels)
+         .config("spark.driver.memory", "32g")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -233,15 +245,17 @@ def main() -> None:
     try:
         lo.warm()
         hi.warm()
-        ceilings = [ceiling_sample(n_cpus, n4_cpus)]
+        ceilings = []
         pairs = []
         for i in range(reps):
+            # the pair's own in-window instrument (both JVMs idle): the
+            # kernel ceiling measured here shares the pair's slice of
+            # box speed and normalizes it out
+            ceilings.append(ceiling_sample(n_cpus, n4_cpus))
             want_hash = i == reps - 1
             rN = lo.rep(with_hash=want_hash)
             r4 = hi.rep(with_hash=want_hash)
             pairs.append((rN, r4))
-            if i == reps // 2 - 1 or i == reps - 1:
-                ceilings.append(ceiling_sample(n_cpus, n4_cpus))
     finally:
         lo.quit()
         hi.quit()
@@ -249,17 +263,23 @@ def main() -> None:
     fetched = pairs[0][0]["fetched"]
     pair_effs = [round(rN["wall_s"] / (4 * r4["wall_s"]), 3)
                  for rN, r4 in pairs]
+    pair_kernels = [c["kernel"] for c in ceilings]
+    pair_norm = [round(e / min(k, 1.0), 3)
+                 for e, k in zip(pair_effs, pair_kernels)]
+    pair_valid = [k <= 1.0 for k in pair_kernels]
     eff = statistics.median(pair_effs)
+    valid_norm = [n for n, v in zip(pair_norm, pair_valid) if v]
+    norm_eff = statistics.median(valid_norm if valid_norm else pair_norm)
     walls_N = [rN["wall_s"] for rN, _ in pairs]
     walls_4 = [r4["wall_s"] for _, r4 in pairs]
     med_N, med_4 = statistics.median(walls_N), statistics.median(walls_4)
-    kern_med, kern_drop = robust_ceiling([c["kernel"] for c in ceilings])
+    kern_med, kern_drop = robust_ceiling(pair_kernels)
     cpu_med, cpu_drop = robust_ceiling([c["cpu"] for c in ceilings])
     last_N, last_4 = pairs[-1]
     same_order = last_N.get("order_hash") == last_4.get("order_hash")
 
     summary = {
-        "protocol": "interleaved-pairs-v3",
+        "protocol": "interleaved-pairs-v4-ctrl",
         "n_urls": n_urls,
         "levels": [n_cpus, n4_cpus],
         "reps": reps,
@@ -269,7 +289,11 @@ def main() -> None:
         "peak_throughput_N": round(fetched / min(walls_N), 1),
         "peak_throughput_4N": round(fetched / min(walls_4), 1),
         "pair_efficiencies": pair_effs,
+        "pair_kernel_ceilings": pair_kernels,
+        "pair_normalized": pair_norm,
+        "pair_kernel_valid": pair_valid,
         "scaling_efficiency": round(eff, 3),
+        "normalized_scaling_efficiency": round(norm_eff, 3),
         "ratio_of_medians_efficiency": round(med_N / (4 * med_4), 3),
         "cpu_ceiling_efficiency": cpu_med,
         "kernel_ceiling_efficiency": kern_med,
@@ -303,32 +327,42 @@ def main() -> None:
             tn=h["throughput_N"], t4=h["throughput_4N"],
             raw=h["scaling_efficiency"],
             kc=h["kernel_ceiling_efficiency"],
-            norm=h["normalized_to_kernel_ceiling"],
+            norm=h.get("normalized_scaling_efficiency",
+                       h["normalized_to_kernel_ceiling"]),
         )
         for i, h in enumerate(history)
     )
     pair_rows = "\n".join(
-        f"| {i + 1} | {rN['wall_s']} | {r4['wall_s']} | {pair_effs[i]} |"
+        f"| {i + 1} | {rN['wall_s']} | {r4['wall_s']} | {pair_effs[i]} "
+        f"| {pair_kernels[i]}{'' if pair_valid[i] else ' (contaminated)'} "
+        f"| {pair_norm[i]}{'' if pair_valid[i] else ' (excluded)'} |"
         for i, (rN, r4) in enumerate(pairs)
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
-Protocol (BASELINE.md "Sandbox evidencing protocol", v3 interleaved): same
-crawl job, same deterministic synthetic input ({n_urls} urls, 64 hosts, hot
-host 0 holding ~50%, out-degree 8), bloom prefilter
-{'ON (the 10^10-scale path)' if use_bloom else 'OFF'}, one persistent JVM
-per level (local[{n_cpus}] = N, local[{n4_cpus}] = 4N), corpus warmed per
-JVM before any clock (it models an existing warehouse table, not crawl
-work). Reps ALTERNATE between the levels — N, 4N, N, 4N, ... — so each
-temporally-adjacent pair shares the same few-minute slice of this VM's
-drifting speed (round-2's sequential protocol measured the levels 20+
-minutes apart and co-tenancy drift swung raw efficiency 0.49-0.57 run to
-run). The HEADLINE efficiency is the MEDIAN per-pair efficiency
-wall_N / (4 x wall_4N); every pair is listed.
+Protocol (BASELINE.md "Sandbox evidencing protocol", v4 interleaved +
+per-pair control): same crawl job, same deterministic synthetic input
+({n_urls} urls, 64 hosts, hot host 0 holding ~50%, out-degree 8), bloom
+prefilter {'ON (the 10^10-scale path)' if use_bloom else 'OFF'}, one
+persistent JVM per level (local[{n_cpus}] = N, local[{n4_cpus}] = 4N),
+corpus warmed per JVM before any clock (it models an existing warehouse
+table, not crawl work). Reps ALTERNATE between the levels — N, 4N, N, 4N —
+so each temporally-adjacent pair shares the same few-minute slice of this
+VM's drifting speed, and each pair carries its OWN hardware-ceiling
+control: immediately before each pair, the crawl's html-parse kernel is
+run under pure multiprocessing at {n_cpus} and {n4_cpus} procs (both JVMs
+idle) — perfectly-parallel code measured in the pair's window. The pair's
+normalized efficiency is raw / min(kernel, 1.0); a kernel sample > 1.0 is
+physically impossible (its {n_cpus}-proc baseline was co-tenant-slowed)
+and excludes the pair from the normalized median, disclosed in place.
+Rationale: across runs the cache-resident integer-loop ceiling is stable
+(~0.8) while the memory-bound parse-kernel ceiling swings 0.54-1.13 — the
+co-tenant interference is memory-bus-shaped and hits the (memory-bound)
+crawl identically, so the in-window kernel is the right per-pair control.
 
-| pair | N wall (s) | 4N wall (s) | pair efficiency |
-|---|---|---|---|
+| pair | N wall (s) | 4N wall (s) | raw eff | in-window kernel ceiling | normalized eff |
+|---|---|---|---|---|---|
 {pair_rows}
 
 | level | cpus | urls fetched | median wall (s) | median urls/sec | peak urls/sec | all reps (s) |
@@ -336,24 +370,20 @@ wall_N / (4 x wall_4N); every pair is listed.
 | N  | {n_cpus}  | {fetched} | {med_N} | {fetched / med_N:.1f} | {fetched / min(walls_N):.1f} | {walls_N} |
 | 4N | {n4_cpus} | {fetched} | {med_4} | {fetched / med_4:.1f} | {fetched / min(walls_4):.1f} | {walls_4} |
 
-- **scaling efficiency (median of per-pair wall_N / (4 x wall_4N)) =
+- **raw scaling efficiency (median of per-pair wall_N / (4 x wall_4N)) =
   {eff:.3f}** (ratio-of-medians: {med_N / (4 * med_4):.3f}; all pairs:
   {pair_effs})
-- **hardware ceilings on this VM (no Spark, pure multiprocessing of
-  perfectly-parallel code, {n_cpus}->{n4_cpus} procs): the VM's achievable
-  speedup drifts, so the ceiling is the MEDIAN of samples taken before,
-  mid-run and after the pairs; a sample > 1.0 is physically impossible
-  (its {n_cpus}-proc baseline was slowed by co-tenant load) and is
-  excluded, but disclosed. Samples: {ceilings}; excluded:
-  cpu {cpu_drop}, kernel {kern_drop}.**
-  - integer-loop CPU kernel: **{cpu_med:.3f}**
-  - the crawl's own html-parse/extract kernel: **{kern_med:.3f}**
-    (string/memory-bound work gains ~nothing from SMT on these
-    {n4_cpus}-vCPU/{n4_cpus // 2}-physical-core boxes; a real 4x cluster
-    multiplies memory buses, local threads share one — this is the honest
-    ceiling for a crawl pipeline)
-- **efficiency normalized to the CPU ceiling = {eff / cpu_med:.3f}; to the
-  workload-kernel ceiling = {eff / kern_med:.3f}** (target >= 0.8)
+- **normalized scaling efficiency (median per-pair raw / in-window kernel
+  ceiling, contaminated pairs excluded) = {norm_eff:.3f}** (target >= 0.8;
+  all pairs: {pair_norm}, valid: {pair_valid})
+- run-level ceiling medians (same samples, aggregated): integer-loop CPU
+  kernel **{cpu_med:.3f}** (stable across windows), html-parse kernel
+  **{kern_med:.3f}** (memory-bound, swings with co-tenant bus load;
+  excluded >1.0 samples: kernel {kern_drop}, cpu {cpu_drop}). The parse
+  kernel gains ~nothing from SMT on these {n4_cpus}-vCPU/
+  {n4_cpus // 2}-physical-core boxes, and a real 4x cluster multiplies
+  memory buses where local threads share one — it is the honest ceiling
+  for a crawl pipeline in local mode.
 - **crawl order byte-identical across parallelism: {same_order}**
   (sha256 over the canonical (superstep, discovery_seq, url) sequence:
   `{str(last_N.get('order_hash'))[:16]}…` at both levels)
@@ -367,10 +397,11 @@ Per-superstep wall (s), local[{n4_cpus}]: {last_4['per_superstep']}
 |---|---|---|---|---|---|---|
 {hist_rows}
 
-Rounds 1-2 (sequential protocol, best-of/median-of-reps — see git history
-of this file): raw 0.505-0.569, normalized 0.72-0.89, with the two levels
-measured 20+ minutes apart and the ceiling sampled only at the run's edges;
-the sequential runs' spread motivated the v3 interleaved protocol above.
+Protocol lineage (see git history of this file): rounds 1-2 measured the
+levels sequentially, 20+ minutes apart, with edge-sampled ceilings — raw
+swung 0.505-0.569 and normalized 0.72-0.89 on ceiling-sample luck. v3
+interleaved the levels pair-wise; its run-level ceiling median still mixed
+windows. v4 (this table) gives each pair its own in-window control.
 
 Caveats: (a) local-mode threads share one JVM, one driver, one Python-worker
 pool and one memory bus — per-superstep fixed costs (driver scheduling,
