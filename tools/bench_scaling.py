@@ -245,6 +245,11 @@ def main() -> None:
     try:
         lo.warm()
         hi.warm()
+        # one DISCARDED rep per JVM: the first crawl pays JIT compilation
+        # (measured ~2.2x steady wall at 4N), which otherwise poisons
+        # pair 1 — walls disclosed in the summary, not used in any median
+        jit_N = lo.rep()["wall_s"]
+        jit_4 = hi.rep()["wall_s"]
         ceilings = []
         pairs = []
         for i in range(reps):
@@ -284,6 +289,7 @@ def main() -> None:
         "levels": [n_cpus, n4_cpus],
         "reps": reps,
         "use_bloom": use_bloom,
+        "jit_warmup_walls": {"N": jit_N, "4N": jit_4},
         "throughput_N": round(fetched / med_N, 1),
         "throughput_4N": round(fetched / med_4, 1),
         "peak_throughput_N": round(fetched / min(walls_N), 1),
@@ -347,7 +353,10 @@ per-pair control): same crawl job, same deterministic synthetic input
 prefilter {'ON (the 10^10-scale path)' if use_bloom else 'OFF'}, one
 persistent JVM per level (local[{n_cpus}] = N, local[{n4_cpus}] = 4N),
 corpus warmed per JVM before any clock (it models an existing warehouse
-table, not crawl work). Reps ALTERNATE between the levels — N, 4N, N, 4N —
+table, not crawl work), plus one DISCARDED JIT-warmup rep per JVM (walls
+{jit_N} s / {jit_4} s — the first crawl pays compilation, ~2.2x steady at
+4N, and would otherwise poison pair 1). Reps ALTERNATE between the levels
+— N, 4N, N, 4N —
 so each temporally-adjacent pair shares the same few-minute slice of this
 VM's drifting speed, and each pair carries its OWN hardware-ceiling
 control: immediately before each pair, the crawl's html-parse kernel is
