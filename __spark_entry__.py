@@ -417,15 +417,33 @@ def _crawl_bfs(spark, sf_dir):
 #: robots fixture rules for the robots_gate oracle query — covers the RFC
 #: 9309 §2.2.2 cases: Allow under Disallow:/ (h0), longer Disallow
 #: re-blocking an Allow subtree (h0 '/src1/1'), plain Disallow (h1),
-#: exact-length tie going to Allow (h2), no rules (h3).
+#: exact-length tie going to Allow (h2), no rules (h3) — plus the §2.2.3
+#: wildcard cases: '$' end anchor with mid-pattern '*' (h1 '/*0$' blocks
+#: paths ending in 0), a longer wildcard Allow overriding it (h1
+#: '/src*40$'), and a trailing-'*' Disallow beating a length-1 tie (h2
+#: '/src3*').
 _ROBOTS_RULES = [
     ("h0.test", "/", False),
     ("h0.test", "/src1/", True),
     ("h0.test", "/src1/1", False),
     ("h1.test", "/src2", False),
+    ("h1.test", "/*0$", False),
+    ("h1.test", "/src*40$", True),
     ("h2.test", "/", True),
     ("h2.test", "/", False),
+    ("h2.test", "/src3*", False),
 ]
+
+
+def _robots_rule_rx(value: str) -> str | None:
+    """DuckDB (RE2) regex for a wildcard robots rule, or None for plain
+    prefixes — an INDEPENDENT translation of RFC 9309 §2.2.3 for the
+    oracle side (fixture literals contain no regex metacharacters)."""
+    if "*" not in value and not value.endswith("$"):
+        return None
+    anchored = value.endswith("$")
+    core = value[:-1] if anchored else value
+    return "^" + core.replace("*", ".*") + ("$" if anchored else "")
 
 
 def _robots_gate(spark, sf_dir):
@@ -582,7 +600,13 @@ def oracle_sql() -> dict[str, str]:
     stops = _STOPS_SQL
     toks = _TOKENS_SQL
     robots_rules = ", ".join(
-        f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _ROBOTS_RULES
+        "('{}', '{}', {}, {})".format(
+            h, p,
+            "NULL" if _robots_rule_rx(p) is None
+            else f"'{_robots_rule_rx(p)}'",
+            str(a).upper(),
+        )
+        for h, p, a in _ROBOTS_RULES
     )
     return {
         "robots_gate": f"""
@@ -592,7 +616,7 @@ def oracle_sql() -> dict[str, str]:
                        || source || '/' || CAST(doc_id AS VARCHAR) AS url,
                      '/' || source || '/' || CAST(doc_id AS VARCHAR) AS path
               FROM documents),
-            rules(host, prefix, allow) AS (VALUES {robots_rules}),
+            rules(host, prefix, rx, allow) AS (VALUES {robots_rules}),
             m AS (
               SELECT c.url, r.prefix, r.allow,
                      row_number() OVER (
@@ -601,7 +625,10 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM cand c JOIN rules r
                 ON c.host = r.host
-               AND substr(c.path, 1, length(r.prefix)) = r.prefix)
+               AND ((r.rx IS NULL
+                     AND substr(c.path, 1, length(r.prefix)) = r.prefix)
+                    OR (r.rx IS NOT NULL
+                        AND regexp_matches(c.path, r.rx))))
             SELECT url FROM cand
             WHERE url NOT IN (SELECT url FROM m)
             UNION ALL

@@ -91,7 +91,7 @@ def main() -> None:
         "q1_pricing_summary", "argmax_latest", "last_write_wins",
         "dedup_exact", "token_stats", "quality_score", "jaccard_pairs",
         "minhash_lsh_dedup", "simhash_dedup", "embedding_cosine_topk",
-        "ann_lsh_topk", "embedding_dup_pairs",
+        "ann_lsh_topk", "ann_lsh_topk_served", "embedding_dup_pairs",
     ]
 
     # the driver-contract queries for the sketch-dedup family are the
@@ -122,10 +122,32 @@ def main() -> None:
             emb.unionByName(dup), threshold=0.99, dim=64, bits=8, bands=4
         )
 
+    # served ANN: the index write happens ONCE outside the clock (the
+    # serving amortization the index exists for); the benched query path
+    # reads only the probed buckets' directories via partition pruning.
+    import tempfile
+    from pyspark.sql import functions as F
+    from walk_spark.operators import similarity as SIM
+
+    _ann_ix = tempfile.mkdtemp(prefix="annix_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    SIM.write_lsh_index(emb, _ann_ix, dim=64, bits=8)
+    _ann_qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+
+    def _bench_ann_served(spark, sf_dir):
+        return SIM.ann_topk_lsh(
+            None, _ann_qv, k=10, n_probe_flips=4,
+            index_path=_ann_ix, spark=spark,
+        )
+
     bench_fns = dict(qfns)
     bench_fns["minhash_lsh_dedup"] = _bench_minhash
     bench_fns["simhash_dedup"] = _bench_simhash
     bench_fns["embedding_dup_pairs"] = _bench_embedding_dups
+    bench_fns["ann_lsh_topk_served"] = _bench_ann_served
 
     times: dict[str, float] = {}
     for name in headline:

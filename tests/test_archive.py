@@ -140,3 +140,34 @@ def test_distributed_cdxj_table_equals_single_file(spark):
     # and the distributed read path sees the same records
     idx = read_cdxj(spark, tbl).collect()
     assert len(idx) == len(single.splitlines())
+
+
+def test_auto_distributed_index_switch(spark, monkeypatch):
+    """write_cbor_archive auto-engages the distributed CDXJ table above
+    AUTO_INDEX_THRESHOLD records (no caller knowledge needed) and keeps
+    the single-file parity render below it."""
+    import glob
+    from walk_spark.config import CrawlConfig
+    from walk_spark.plans.crawl import crawl
+    from walk_spark.sources import archive as A
+    from walk_spark.sources.pages import self_linking_pages
+    cfg = CrawlConfig(seeds=["http://self.test"],
+                      domains=["http://self.test"])
+    r = crawl(spark, self_linking_pages(spark), cfg)
+
+    # below threshold: single-file render
+    base_small = tempfile.mkdtemp()
+    A.write_cbor_archive(r.ok_resources(), base_small)
+    assert os.path.isfile(os.path.join(base_small, "index.cdxj"))
+    assert not os.path.isdir(os.path.join(base_small, "index.cdxj.d"))
+
+    # above (patched) threshold: distributed table, byte-equal concat
+    monkeypatch.setattr(A, "AUTO_INDEX_THRESHOLD", 2)
+    base_big = tempfile.mkdtemp()
+    A.write_cbor_archive(r.ok_resources(), base_big)
+    assert not os.path.exists(os.path.join(base_big, "index.cdxj"))
+    tbl = os.path.join(base_big, "index.cdxj.d")
+    parts = sorted(glob.glob(os.path.join(tbl, "part-*")))
+    concat = b"".join(open(p, "rb").read() for p in parts)
+    single = open(os.path.join(base_small, "index.cdxj"), "rb").read()
+    assert concat == single and single

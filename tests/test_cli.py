@@ -100,3 +100,38 @@ def test_clean_from_sitemap_json(crawl_output):
     assert stats == {"total": 4, "removed": 1, "kept": 3}
     cleaned = json.load(open(tmp_out))
     assert "http://self.test/b.html" not in cleaned and len(cleaned) == 3
+
+
+def test_job_new_command():
+    """`walk job new` prints a valid default job JSON (cmd/job.go:16-28)."""
+    out = run_cli("job", "new")
+    assert out.returncode == 0
+    from walk_spark.config import CrawlConfig
+    cfg = CrawlConfig.from_json(out.stdout)
+    assert cfg.seeds == []
+    # round-trips
+    assert CrawlConfig.from_json(cfg.to_json()) == cfg
+
+
+def test_server_command(crawl_output):
+    """`walk server` binds the REST shell over a resources table and
+    serves /status + /collection (cmd/server.go:9-29; in-process because
+    a subprocess server would outlive the test)."""
+    import urllib.request
+    from walk_spark.cli import main
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "server", os.path.join(crawl_output, "resources"),
+            "--walk-id", "w1", "--port", "0", "--no-block",
+        ])
+    assert rc == 0
+    port = json.loads(buf.getvalue())["port"]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/status") as r:
+        assert r.status == 200
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/collection") as r:
+        body = json.loads(r.read())
+    assert body["data"] == ["w1"]

@@ -258,3 +258,43 @@ def test_record_headers_flatten_and_map_view(spark):
                                "headers array<string>")
     got = [x["headers_map"] for x in headers_map(df).collect()]
     assert got == [{"a": "1"}, None]
+
+
+def test_long_crawl_terminal_compaction_bounds_state(spark):
+    """Frontier split at depth (SURVEY F17 scale shape): a chain-shaped
+    corpus forces one url per superstep; after ≥ 3×_TERM_COMPACT
+    supersteps the terminal parts must have been compacted (bounded plan
+    width) and the per-superstep active set stays O(1) — superstep state
+    cost must not grow with crawl depth."""
+    import datetime as dt
+    from walk_spark.config import CrawlConfig
+    from walk_spark.plans.crawl import Crawler
+    from walk_spark.sources.pages import PAGES_SCHEMA, _page_html
+
+    n = 3 * Crawler._TERM_COMPACT + 4  # 28 supersteps of 1 url each
+    rows = []
+    for i in range(n):
+        nxt = f"http://chain.test/p{i+1}" if i + 1 < n else None
+        hrefs = [(nxt, "next")] if nxt else []
+        rows.append((
+            f"http://chain.test/p{i}", dt.datetime(2020, 1, 1, 0, 0, i),
+            _page_html(f"p{i}", hrefs, [f"page {i}"]),
+            "", "en", 200, "text/html; charset=utf-8", None,
+        ))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    cfg = CrawlConfig(seeds=["http://chain.test/p0"],
+                      domains=["http://chain.test"],
+                      max_supersteps=n + 2)
+    c = Crawler(spark, pages, cfg)
+    r = c.run()
+    assert len(r.metrics) == n
+    assert sum(m["done"] for m in r.metrics) == n
+    # compaction bound: never more than _TERM_COMPACT+2 live branches
+    assert len(c._term_parts) <= Crawler._TERM_COMPACT + 2
+    # every url visited exactly once, in chain order
+    order = r.order.orderBy("discovery_seq").select("url").collect()
+    assert [x["url"] for x in order] == [
+        f"http://chain.test/p{i}" for i in range(n)
+    ]
+    # state stays O(active): the queued set the loop re-pins is ≤ 1 row
+    assert c._queued.count() == 0

@@ -147,3 +147,68 @@ def test_allow_tie_goes_to_allow(spark):
         [("http://a.test/p/x", "a.test")], "url string, host string"
     )
     assert apply_robots(cands, rules).count() == 1
+
+
+WILDCARD_SAMPLE = """
+User-agent: *
+Disallow: /*.pdf$
+Disallow: /private*/
+Allow: /private-ok/
+Disallow: /tmp$
+"""
+
+
+def test_compile_robots_pattern():
+    """RFC 9309 §2.2.3 translation: '*' -> any sequence, trailing '$' ->
+    end anchor, everything else literal (Java-regex \\Q..\\E quoting so
+    rlike is safe for regex metachars in paths)."""
+    from walk_spark.sources.robots import compile_robots_pattern
+    assert compile_robots_pattern("/plain") is None  # prefix fast path
+    assert compile_robots_pattern("/*.pdf$") == "^\\Q/\\E.*\\Q.pdf\\E$"
+    assert compile_robots_pattern("/fish*") == "^\\Q/fish\\E.*"
+    assert compile_robots_pattern("/x$") == "^\\Q/x\\E$"
+    # '$' mid-pattern is a literal
+    assert compile_robots_pattern("/a$b*") == "^\\Q/a$b\\E.*"
+
+
+def test_wildcard_gate(spark):
+    """Wildcard rules gate like fetchbot/RFC 9309: '$' anchors end-of-path,
+    '*' spans segments, and longest-match precedence uses the PATTERN
+    length (Allow:/private-ok/ is longer than Disallow:/private*/)."""
+    from walk_spark.operators.politeness import apply_robots
+    bodies = spark.createDataFrame(
+        [("a.test", WILDCARD_SAMPLE)], "host string, robots_txt string"
+    )
+    rules = rules_from_bodies(bodies, "walk_spark/0.1")
+    cands = spark.createDataFrame(
+        [("http://a.test/doc.pdf", "a.test"),        # /*.pdf$ -> deny
+         ("http://a.test/doc.pdfx", "a.test"),       # $ anchor -> allow
+         ("http://a.test/a/b/doc.pdf", "a.test"),    # * spans segments -> deny
+         ("http://a.test/private2/x", "a.test"),     # /private*/ -> deny
+         ("http://a.test/private-ok/x", "a.test"),   # longer Allow wins
+         ("http://a.test/tmp", "a.test"),            # /tmp$ exact -> deny
+         ("http://a.test/tmp/x", "a.test"),          # anchored -> allow
+         ("http://a.test/ok.html", "a.test")],
+        "url string, host string",
+    )
+    got = {r["url"] for r in apply_robots(cands, rules).collect()}
+    assert got == {"http://a.test/doc.pdfx", "http://a.test/private-ok/x",
+                   "http://a.test/tmp/x", "http://a.test/ok.html"}
+
+
+def test_ua_substring_direction():
+    """RFC 9309 §2.2.1: a group applies when ITS token is a substring of
+    the crawler's product token — not the reverse (a 'googlebot-images'
+    group must not capture plain 'googlebot')."""
+    from walk_spark.sources.robots import parse_robots_rules
+    body = """
+User-agent: googlebot-images
+Disallow: /images/
+
+User-agent: google
+Disallow: /general/
+"""
+    # crawler 'googlebot' matches the 'google' group (group token is a
+    # substring of the product token) but NOT 'googlebot-images'
+    got = parse_robots_rules(body, "googlebot/2.1")
+    assert got == [("/general/", False)]

@@ -6,6 +6,8 @@ Mirrors the reference's cobra commands (cmd/*.go):
   clean          cmd/clean.go:20-107
   normalize-url  cmd/normalize_url.go:12-30
   sitemap        (finalize path of lib/sitemap.go:62-116)
+  job new        cmd/job.go:16-28         print a default job config JSON
+  server         cmd/server.go:9-29       serve the REST API (walk_spark.server)
 
 Usage: python -m walk_spark.cli <command> [args]
 The pages corpus stands in for the network (BASELINE.json input_hint); point
@@ -135,6 +137,35 @@ def cmd_sitemap(args) -> int:
     return 0
 
 
+def cmd_job_new(args) -> int:
+    """Print a blank job config JSON with defaults — `walk job new`
+    (cmd/job.go:16-28 marshals lib.DefaultJobConfig)."""
+    print(CrawlConfig(seeds=[]).to_json())
+    return 0
+
+
+def cmd_server(args) -> int:
+    """Serve a crawled walk's resources over the REST API — `walk server`
+    (cmd/server.go:9-29; routes per api/server.go:47-68)."""
+    from walk_spark.server import WalkServer
+
+    spark = _spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    res = spark.read.parquet(args.resources)
+    ok = res.filter("status between 200 and 308 and error is null "
+                    "and redirect_to is null")
+    frontier = (
+        spark.read.parquet(args.frontier) if args.frontier else None
+    )
+    srv = WalkServer({args.walk_id: ok}, frontier=frontier)
+    port = srv.serve(args.port)
+    print(json.dumps({"port": port}))
+    if args.block:
+        import threading
+        threading.Event().wait()  # serve until killed (SIGINT)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="walk_spark")
     p.add_argument("--cpus", default="*", help="local[N] parallelism")
@@ -168,6 +199,24 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("resources")
     s.add_argument("--output", default=None)
     s.set_defaults(fn=cmd_sitemap)
+
+    j = sub.add_parser("job", help="work with walk jobs")
+    jsub = j.add_subparsers(dest="jobcmd", required=True)
+    s = jsub.add_parser("new", help="create a new blank job file")
+    s.set_defaults(fn=cmd_job_new)
+
+    s = sub.add_parser("server", help="start an api server")
+    s.add_argument("resources", help="resources parquet path")
+    s.add_argument("--walk-id", default="walk", help="collection id")
+    s.add_argument("--frontier", default=None,
+                   help="frontier parquet path (enables /jobs requests)")
+    s.add_argument("--port", type=int, default=3000,
+                   help="listen port (0 = ephemeral; ref serves on 3000)")
+    s.add_argument("--block", action="store_true", default=True,
+                   help="serve until killed (default)")
+    s.add_argument("--no-block", dest="block", action="store_false",
+                   help="return after binding (tests)")
+    s.set_defaults(fn=cmd_server)
 
     args = p.parse_args(argv)
     return args.fn(args)

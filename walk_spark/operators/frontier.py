@@ -128,10 +128,13 @@ def with_global_seq(
     ).localCheckpoint(eager=True)
     if trace is not None:
         trace["seq_rank_pin"] = round(_time.monotonic() - _t, 3)
+    _t = _time.monotonic()
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
+    if trace is not None:
+        trace["seq_counts"] = round(_time.monotonic() - _t, 3)
     offsets, acc = {}, start
     for pid in sorted(counts):
         offsets[pid] = acc

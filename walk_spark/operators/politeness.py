@@ -120,43 +120,68 @@ def cap_batch(batch: DataFrame, max_batch_size: int) -> DataFrame:
     )
 
 
-def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
+def apply_robots(candidates: DataFrame, robots: DataFrame | None,
+                 path_col: str | None = None) -> DataFrame:
     """Drop candidates disallowed by robots rules, with RFC 9309 §2.2.2
-    precedence: among all rules whose prefix matches the URL path, the
-    LONGEST prefix wins; a length tie goes to Allow; no match = allowed.
+    precedence: among all rules whose pattern matches the URL path, the
+    LONGEST rule wins; a length tie goes to Allow; no match = allowed.
+    Rules containing ``*`` / trailing ``$`` match per RFC 9309 §2.2.3
+    (any-sequence wildcard / end anchor — fetchbot's robots library honors
+    these, lib/worker.go:81-83); plain rules keep the prefix fast path.
 
     ``robots`` columns: host, disallow_prefix, optional ``allow`` boolean
     (absent/null = Disallow rule — the legacy fixture shape, for which
     longest-match degenerates to the old any-match-denies behavior).
 
+    ``path_col``: a precomputed path column name on ``candidates`` (the
+    crawl loop derives it from its single parse_url pass); default parses
+    the url here.
+
     Shuffle shape: the tiny rules table is pre-aggregated to one
-    array<struct<prefix,allow>> row per host and BROADCAST; each candidate
-    then resolves its verdict with JVM higher-order functions (filter +
-    aggregate over the host's rule array) inside whole-stage codegen — the
-    high-volume candidate stream is never shuffled or UDF'd here.
+    array<struct<prefix,pattern,allow>> row per host and BROADCAST —
+    wildcard rules are compiled to anchored Java regexes ON THE RULES SIDE
+    (a pandas UDF over the small table); each candidate then resolves its
+    verdict with JVM higher-order functions (filter + aggregate over the
+    host's rule array) inside whole-stage codegen — the high-volume
+    candidate stream is never shuffled or UDF'd here.
     """
     if robots is None:
         return candidates
+    from walk_spark.sources.robots import compile_robots_pattern
+
     allow_col = (F.coalesce(F.col("allow"), F.lit(False))
                  if "allow" in robots.columns else F.lit(False))
+
+    def _compile(vals: pd.Series) -> pd.Series:
+        return vals.map(
+            lambda v: None if v is None else compile_robots_pattern(v)
+        )
+
+    pat_udf = F.pandas_udf(_compile, returnType="string")
     by_host = F.broadcast(
         robots.select(
             F.col("host").alias("_rhost"),
             F.struct(
                 F.col("disallow_prefix").alias("prefix"),
+                pat_udf(F.col("disallow_prefix")).alias("pattern"),
                 allow_col.alias("allow"),
             ).alias("_r"),
         )
         .groupBy("_rhost")
         .agg(F.collect_list("_r").alias("_rules"))
     )
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+    path = (
+        F.col(path_col) if path_col is not None
+        else F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+    )
     joined = candidates.join(
         by_host, candidates["host"] == by_host["_rhost"], "left"
     )
     matched = F.filter(
         F.coalesce(F.col("_rules"), F.array()),
-        lambda r: path.startswith(r["prefix"]),
+        lambda r: F.when(
+            r["pattern"].isNull(), path.startswith(r["prefix"])
+        ).otherwise(F.regexp_like(path, r["pattern"])),
     )
     # longest-match fold: carry (best_len, best_allow); ties -> Allow
     verdict = F.aggregate(

@@ -83,6 +83,37 @@ def rp_lsh_buckets(embeddings: DataFrame, dim: int, bits: int = 12,
     )
 
 
+def _hadoop_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _write_sidecar(spark, path: str, data: bytes) -> None:
+    """Write a small metadata file through the JVM Hadoop FileSystem — the
+    same filesystem abstraction the parquet writer used, so the sidecar
+    lands next to the table on ANY supported scheme (local, hdfs://,
+    s3a://), not just the driver's local disk."""
+    fs, p = _hadoop_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _read_sidecar(spark, path: str) -> bytes:
+    fs, p = _hadoop_path(spark, path)
+    stream = fs.open(p)
+    try:
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
 def write_lsh_index(embeddings: DataFrame, path: str, dim: int,
                     bits: int = 12, id_col: str = "vec_id",
                     vec_col: str = "embedding", seed: int = 42) -> None:
@@ -90,15 +121,17 @@ def write_lsh_index(embeddings: DataFrame, path: str, dim: int,
     partitioned by bucket (parquet ``partitionBy`` — one directory per
     bucket, so a probe of B buckets scans B/2^bits of the corpus via
     partition pruning, never the full table). The LSH parameters are
-    stored alongside (_lsh_meta.json) so reads derive query probes from
-    the SAME hyperplanes; serving many queries against a written index
-    amortizes the signature UDF to zero."""
+    stored alongside (_lsh_meta.json, written through the Hadoop FS so any
+    warehouse scheme works) so reads derive query probes from the SAME
+    hyperplanes; serving many queries against a written index amortizes
+    the signature UDF to zero."""
     import json as _json
-    import os as _os
     bucketed = rp_lsh_buckets(embeddings, dim, bits, id_col, vec_col, seed)
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    with open(_os.path.join(path, "_lsh_meta.json"), "w") as f:
-        _json.dump({"dim": dim, "bits": bits, "seed": seed}, f)
+    _write_sidecar(
+        embeddings.sparkSession, path.rstrip("/") + "/_lsh_meta.json",
+        _json.dumps({"dim": dim, "bits": bits, "seed": seed}).encode(),
+    )
 
 
 def read_lsh_index(spark, path: str,
@@ -107,12 +140,12 @@ def read_lsh_index(spark, path: str,
     embedding, bucket) — bucket is the partition column, so filters on it
     prune directories — or (df, meta) with ``with_meta``."""
     import json as _json
-    import os as _os
     df = spark.read.parquet(path)
     if not with_meta:
         return df
-    with open(_os.path.join(path, "_lsh_meta.json")) as f:
-        meta = _json.load(f)
+    meta = _json.loads(
+        _read_sidecar(spark, path.rstrip("/") + "/_lsh_meta.json").decode()
+    )
     return df, meta
 
 

@@ -173,6 +173,10 @@ class Crawler:
                 set(self._hot_hosts) | set(self._detect_hot_hosts())
             )
         self.metrics: list[dict] = []
+        #: broadcasts this crawler's bloom probes hold, released after each
+        #: superstep's state pin (per-owner registry — a concurrent
+        #: Crawler's release can never destroy this one's broadcasts)
+        self._bloom_registry: list = []
         self.next_seq = 0
         self.superstep = 0
         self.total_done = 0
@@ -329,6 +333,12 @@ class Crawler:
             F.when(host.isin(self._hot_hosts), by_url).otherwise(by_host)
         ).cast("int")
 
+    def _jd(self, label: str) -> None:
+        """Thread-local Spark job description — every eager action in the
+        superstep gets a stable label so the UI / REST profile
+        (tools/profile_superstep.py) can attribute stages to loop phases."""
+        self.spark.sparkContext.setJobDescription(label)
+
     @property
     def _pool(self):
         if self._pool_inst is None:
@@ -343,7 +353,7 @@ class Crawler:
         if self._pool_inst is not None:
             self._pool_inst.shutdown(wait=True)
             self._pool_inst = None
-        D.release_bloom_broadcasts()
+        D.release_bloom_broadcasts(self._bloom_registry)
 
     def __enter__(self) -> "Crawler":
         return self
@@ -473,7 +483,9 @@ class Crawler:
         )
         return self._chains
 
-    def _update_blooms_pinned(self) -> DataFrame:
+    def _update_blooms_pinned(
+        self, frontier: DataFrame | None = None, superstep: int | None = None
+    ) -> DataFrame:
         """Incremental bloom maintenance over the PREVIOUS superstep's
         pinned frontier. The filters must be a SUPERSET of the seen set (a
         missing url is a false negative → duplicate enqueue), so: first
@@ -483,25 +495,56 @@ class Crawler:
         Depends only on state pinned at the END of the last superstep, so
         the superstep loop submits it to the helper thread at superstep
         START — the filter merge runs concurrently with the fetch join +
-        extraction instead of serializing after them."""
+        extraction instead of serializing after them. The loop passes
+        ``frontier``/``superstep`` captured AT SUBMIT TIME so the helper
+        thread never races a later reassignment of ``self.frontier``."""
         cfg = self.cfg
+        if frontier is None:
+            frontier = self.frontier
+        if superstep is None:
+            superstep = self.superstep
+        self._jd(f"ss{superstep}:bloom_merge")
         items = cfg.bloom_expected_items // cfg.seen_partitions
         if self._blooms is None:
             self._blooms = self._pin(D.build_bloom_partitions(
-                self.frontier.select("part_id", "url"), items,
+                frontier.select("part_id", "url"), items,
                 cfg.bloom_num_bits,
             ))
-            self._bloom_hwm = self.superstep - 1
-        elif self._bloom_hwm < self.superstep - 1:
-            delta = self.frontier.filter(
+            self._bloom_hwm = superstep - 1
+        elif self._bloom_hwm < superstep - 1:
+            delta = frontier.filter(
                 F.col("superstep") > self._bloom_hwm
             ).select("part_id", "url")
             self._blooms = self._pin(D.merge_bloom_partitions(
                 self._blooms,
                 D.build_bloom_partitions(delta, items, cfg.bloom_num_bits),
             ))
-            self._bloom_hwm = self.superstep - 1
+            self._bloom_hwm = superstep - 1
         return self._blooms
+
+    def _filters_bytes(self) -> int:
+        """Total filter-table bytes, CONFIG-derived (seen_partitions ×
+        bits/8) so the probe-plan choice is deterministic across cluster
+        sizes."""
+        return self.cfg.seen_partitions * (
+            (max(self.cfg.bloom_num_bits, 1024) + 7) // 8
+        )
+
+    def _bloom_job(self, frontier: DataFrame, superstep: int):
+        """Helper-thread bloom maintenance: merge+pin the filters, then —
+        when the broadcast probe path applies and nothing superstep-local
+        can still change the filters (no recorded-redirect terminals) —
+        ALSO collect+broadcast them. The collect+broadcast was measured as
+        seconds of driver-serial time per superstep (it never shrinks with
+        executors); here it overlaps the fetch join + extraction, so the
+        main thread pays only a future .result()."""
+        blooms = self._update_blooms_pinned(frontier, superstep)
+        bc = None
+        if (not self.cfg.record_redirects
+                and self._filters_bytes() <= D.BLOOM_BROADCAST_MAX_BYTES):
+            self._jd(f"ss{superstep}:bloom_bcast")
+            bc = D.prepare_bloom_broadcast(blooms, self._bloom_registry)
+        return blooms, bc
 
     def _update_blooms(
         self, redirect_terminals: DataFrame | None,
@@ -650,20 +693,29 @@ class Crawler:
             )
         return hits.unionByName(misses)
 
-    def _candidate_filter_expr(self):
+    def _candidate_filter_expr(self, authority=None, path=None):
         """P7 (lib/job.go:250-271): reject ignore-pattern substrings; accept
-        iff some domain authority matches AND path has the domain's prefix."""
+        iff some domain authority matches AND path has the domain's prefix.
+
+        ``authority``/``path`` columns may be passed precomputed (the hot
+        candidate path derives both from ONE parse_url — see _superstep);
+        prefix-less domains collapse into a single ``isin`` (an O(1) hash
+        probe instead of an OR-chain of per-domain string compares — with
+        walk-scale domain lists the chain dominated candidate filtering)."""
         url = F.col("url")
-        keep = F.lit(False)
-        authority = F.lower(
-            F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit(""))
-        )
-        path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
-        for (auth, pre) in self._domains:
-            cond = authority == F.lit(auth)
-            if pre:
-                cond = cond & path.startswith(F.lit(pre))
-            keep = keep | cond
+        if authority is None:
+            authority = F.lower(
+                F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit(""))
+            )
+        exact = [a for (a, pre) in self._domains if not pre]
+        prefixed = [(a, pre) for (a, pre) in self._domains if pre]
+        keep = authority.isin(exact) if exact else F.lit(False)
+        if prefixed and path is None:
+            path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+        for (auth, pre) in prefixed:
+            keep = keep | (
+                (authority == F.lit(auth)) & path.startswith(F.lit(pre))
+            )
         for pat in self.cfg.ignore_patterns:
             keep = keep & ~url.contains(F.lit(pat))
         return keep
@@ -767,7 +819,7 @@ class Crawler:
                 # the frontier pin above materialized this superstep's
                 # bloom-probe plan — its broadcast can go now (else a
                 # long crawl accumulates one broadcast per superstep)
-                D.release_bloom_broadcasts()
+                D.release_bloom_broadcasts(self._bloom_registry)
             self._flush_parts()
         finally:
             self.close()
@@ -788,7 +840,7 @@ class Crawler:
         # overlaps the fetch join + extraction below instead of
         # serializing after them
         bloom_future = (
-            self._pool.submit(self._update_blooms_pinned)
+            self._pool.submit(self._bloom_job, self.frontier, k)
             if cfg.use_bloom and cfg.crawl else None
         )
         # batch is NOT materialized: its only computed consumer is the fetch
@@ -838,6 +890,7 @@ class Crawler:
             "content_length",
             F.coalesce(F.length("html").cast("long"), F.lit(0).cast("long")),
         ).drop("html")
+        self._jd(f"ss{k}:fetch_extract")
         fetched = self._pin(fetched)
         trace["fetch_extract"] = round(time.monotonic() - t0, 3)
 
@@ -930,13 +983,17 @@ class Crawler:
             (F.col("url") == F.lit(cfg.stop_url)).cast("int")
             if cfg.stop_url else F.lit(0)
         )
-        stat_future = self._pool.submit(
-            upd.groupBy("status")
-            .agg(F.count("*").alias("n"),
-                 F.sum(backoff_flag.cast("int")).alias("nb"),
-                 F.max(stop_flag).alias("stop"))
-            .collect
+        stat_agg = upd.groupBy("status").agg(
+            F.count("*").alias("n"),
+            F.sum(backoff_flag.cast("int")).alias("nb"),
+            F.max(stop_flag).alias("stop"),
         )
+
+        def _stat_job():
+            self._jd(f"ss{k}:metrics_agg")
+            return stat_agg.collect()
+
+        stat_future = self._pool.submit(_stat_job)
 
         # terminal urls of recorded redirects become their own frontier rows
         # (the reference "dequeues" never-queued final urls, creating them —
@@ -1004,14 +1061,61 @@ class Crawler:
                 F.col("discovery_seq").alias("parent_seq"),
                 F.posexplode_outer("links").alias("ordinal", "url"),
             ).filter(F.col("url").isNotNull())
-            cands = cands.filter(self._candidate_filter_expr())
-            # JVM-side host derivation — candidates are the highest-volume
-            # stream in the loop (pages × out-degree); a Python pass here
-            # would double the UDF cost of the whole superstep
+            # candidates are the loop's highest-volume stream (pages ×
+            # out-degree): parse the url ONCE (parse_url builds a
+            # java.net.URI per call — the old shape paid it 3×: domain
+            # filter, canonical host, robots path) and derive the domain
+            # filter, canonical host, and robots path from the AUTHORITY
+            # slice with plain substring expressions. All JVM-side — a
+            # Python pass here would double the superstep's UDF cost.
             cands = cands.withColumn(
-                "host", canonical_host_col(F.col("url"))
+                "_auth",
+                F.lower(F.coalesce(
+                    F.parse_url(F.col("url"), F.lit("AUTHORITY")), F.lit("")
+                )),
             )
-            cands = P.apply_robots(cands, self.robots)
+            need_path = (
+                any(pre for (_a, pre) in self._domains)
+                or self.robots is not None
+            )
+            if need_path:
+                # path+query start right after "scheme://" + authority;
+                # normalized candidates have no fragment, so the first '?'
+                # ends the path. Non-http(s)-shaped urls (no "://" → _auth
+                # "") get a garbage slice here but can never match a
+                # domain authority, so the filter drops them regardless.
+                rest = F.substring(
+                    F.col("url"),
+                    F.locate("://", F.col("url")) + F.lit(3)
+                    + F.length("_auth"),
+                    F.lit(2147483647),
+                )
+                cands = cands.withColumn(
+                    "_path", F.substring_index(rest, "?", 1)
+                )
+            cands = cands.filter(self._candidate_filter_expr(
+                authority=F.col("_auth"),
+                path=F.col("_path") if need_path else None,
+            ))
+            # canonical host ≡ functions.frontier.canonical_host_col, but
+            # from the short _auth slice: strip userinfo (after last '@'),
+            # strip port, strip leading www. Bracketed IPv6 hosts fall
+            # back to the parse_url expression.
+            _h = F.substring_index(
+                F.substring_index(F.col("_auth"), "@", -1), ":", 1
+            )
+            cands = cands.withColumn(
+                "host",
+                F.when(
+                    F.col("_auth").contains("["),
+                    canonical_host_col(F.col("url")),
+                ).otherwise(F.regexp_replace(_h, r"^www\.", "")),
+            )
+            cands = P.apply_robots(
+                cands, self.robots,
+                path_col="_path" if self.robots is not None else None,
+            )
+            cands = cands.drop("_auth", *(["_path"] if need_path else []))
             # part_id BEFORE dedup, and dedup groups on (part_id, url):
             # part_id is a pure function of url so the groups are the
             # same, but the aggregate output then carries the anti-join's
@@ -1024,20 +1128,34 @@ class Crawler:
             seen = new_frontier.select("part_id", "url")
             blooms = None
             filters_bytes = None
+            prepared_bc = None
             if cfg.use_bloom:
-                blooms = self._update_blooms(
-                    redirect_terminals, pinned=bloom_future.result()
-                )
+                pinned, prepared_bc = bloom_future.result()
+                blooms = self._update_blooms(redirect_terminals, pinned=pinned)
                 trace["bloom_update"] = round(time.monotonic() - t0, 3)
                 # config-derived (deterministic across cluster sizes)
-                filters_bytes = cfg.seen_partitions * (
-                    (max(cfg.bloom_num_bits, 1024) + 7) // 8
-                )
-            fresh = D.anti_join_seen(cands, seen, blooms, filters_bytes)
+                filters_bytes = self._filters_bytes()
+                if redirect_terminals is not None:
+                    # this superstep's redirect terminals were merged into
+                    # the filters AFTER the helper's collect — its
+                    # broadcast is stale; fall back to collect-at-use
+                    prepared_bc = None
+            t_aj = time.monotonic()
+            self._jd(f"ss{k}:expand_build")
+            fresh = D.anti_join_seen(
+                cands, seen, blooms, filters_bytes,
+                prepared_bc=prepared_bc, registry=self._bloom_registry,
+            )
+            # anti_join_seen's lazy checkpoint materializes the candidate
+            # pipeline's shuffle stages here (AQE executes query stages on
+            # .rdd) — this window is the expansion build, traced apart
+            # from the seq pins below
+            trace["expand_build"] = round(time.monotonic() - t_aj, 3)
             # materialize=False: the ranked output stays lazy — the frontier
             # pin at checkpoint time materializes it, so the sequence
             # assignment costs ONE collect job here instead of collect +
             # eager checkpoint (the range-exchange is reused by the pin).
+            self._jd(f"ss{k}:seq_assign")
             fresh, n_new = with_global_seq(
                 fresh,
                 ["parent_depth", "parent_seq", "ordinal", "url"],
@@ -1127,6 +1245,7 @@ class Crawler:
             self._order_parts = []
 
     def _checkpoint_state(self) -> None:
+        self._jd(f"ss{self.superstep}:checkpoint")
         if not self.workdir:
             # only the ACTIVE set is re-read (and thus pinned) every
             # superstep; terminal parts are lazy projections of pinned
@@ -1164,10 +1283,15 @@ class Crawler:
         # the helper thread so it OVERLAPS the resources/order part writes
         # below instead of adding a serial job to the superstep tail
         frontier_snapshot = self.frontier
-        part_future = self._pool.submit(
-            lambda: frontier_snapshot.groupBy("part_id")
-            .agg(F.count("*").alias("n")).collect()
-        )
+
+        def _lineage_job():
+            self._jd(f"ss{k}:checkpoint_lineage")
+            return (
+                frontier_snapshot.groupBy("part_id")
+                .agg(F.count("*").alias("n")).collect()
+            )
+
+        part_future = self._pool.submit(_lineage_job)
         for name, parts in (("resources", self._res_parts),
                             ("order", self._order_parts)):
             for p in parts:

@@ -189,9 +189,17 @@ def _body_path(base: str, h: str) -> str:
     return os.path.join(base, "body", h[:2], h[2:])
 
 
+#: archives with more records than this auto-switch to the distributed
+#: sorted-table index (write_cdxj_table) — the single-file render collects
+#: a (surt, ts, record) projection to the driver, which is reference
+#: parity at walk-sized archives but a scale-killer past it. The caller
+#: can still force either path via ``index_partitions``.
+AUTO_INDEX_THRESHOLD = 1_000_000
+
+
 def write_cbor_archive(resources: DataFrame, base: str,
                        bodies: DataFrame | None = None,
-                       index_partitions: int = 0) -> None:
+                       index_partitions: int | None = None) -> None:
     """Write the content-addressed archive layout. ``resources`` is the
     meta projection (ok_resources()); ``bodies`` optionally maps
     (hash, body binary) — bodies are stored once per hash (content
@@ -227,6 +235,13 @@ def write_cbor_archive(resources: DataFrame, base: str,
                     f.write(cbor_encode(bytes(r["body"])))
         bodies.select("hash", "body").foreachPartition(_write_body)
 
+    # Index path selection: caller override (0 = force single-file,
+    # >0 = force distributed with that many parts), else AUTOMATIC — big
+    # archives engage the distributed sorted table without the caller
+    # needing to know it exists (the count is one column-pruned job).
+    if index_partitions is None:
+        n = resources.count()
+        index_partitions = 32 if n > AUTO_INDEX_THRESHOLD else 0
     if index_partitions > 0:
         write_cdxj_table(
             resources, os.path.join(base, "index.cdxj.d"), index_partitions
@@ -234,7 +249,7 @@ def write_cbor_archive(resources: DataFrame, base: str,
         return
     # index.cdxj single-file render — reference parity (cdxj.Writer.Close
     # writes one sorted file; record fields per resource_handler.go:160-175).
-    # Fine at walk-size archives; at warehouse scale pass index_partitions.
+    # Fine at walk-size archives; auto-switches above the threshold.
     proj = resources.select(
         "url", "warc_ts", "hash", "content_length",
         *(c for c in ("redirect_to", "redirect_from", "job_id")

@@ -12,10 +12,10 @@ Parsing follows RFC 9309 basics: case-insensitive field names, ``#``
 comments, groups started by one or more User-agent lines, empty
 Disallow/Allow values dropped (no restriction). Both Disallow AND Allow
 rules are extracted; precedence (RFC 9309 §2.2.2 longest-match, Allow
-wins ties) is applied by ``operators.politeness.apply_robots``. Path
-``*``/``$`` wildcards are not expanded (prefix semantics only — same as
-the plain-prefix matchers in most production crawlers; documented
-deviation).
+wins ties) is applied by ``operators.politeness.apply_robots``, which
+also honors path ``*``/``$`` wildcards (RFC 9309 §2.2.3) via
+``compile_robots_pattern`` below — matching fetchbot's robots library
+(the reference's Polite path, lib/worker.go:81-83).
 """
 
 from __future__ import annotations
@@ -24,13 +24,36 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def compile_robots_pattern(value: str) -> str | None:
+    """RFC 9309 §2.2.3 wildcard rule -> anchored Java regex, or None for a
+    plain prefix rule (the startswith fast path). ``*`` matches any
+    sequence of characters; a TRAILING ``$`` anchors the end of the path
+    (``$`` anywhere else is a literal). Literal spans are ``\\Q..\\E``
+    quoted so regex metacharacters in paths can't change the match —
+    rlike/regexp_like-safe by construction."""
+    if "*" not in value and not value.endswith("$"):
+        return None
+    anchored = value.endswith("$")
+    core = value[:-1] if anchored else value
+
+    def _q(lit: str) -> str:
+        if not lit:
+            return ""
+        return "\\Q" + lit.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+    rx = ".*".join(_q(part) for part in core.split("*"))
+    return "^" + rx + ("$" if anchored else "")
+
+
 def parse_robots_rules(body: str,
                        user_agent: str = "*") -> list[tuple[str, bool]]:
-    """(path_prefix, is_allow) rules applying to ``user_agent`` (exact
-    token match or the ``*`` group; the UA product token is matched
-    case-insensitively as a substring, per RFC 9309 §2.2.1). Both Allow
-    and Disallow lines are extracted — precedence is the consumer's job
-    (apply_robots: longest prefix wins, Allow wins ties, §2.2.2)."""
+    """(path_pattern, is_allow) rules applying to ``user_agent`` (the
+    ``*`` group, or a group whose token is a case-insensitive substring of
+    the crawler's product token — RFC 9309 §2.2.1 direction: a
+    'examplebot-images' group must NOT capture plain 'examplebot'). Both
+    Allow and Disallow lines are extracted — precedence and §2.2.3
+    wildcards are the consumer's job (apply_robots: longest rule wins,
+    Allow wins ties, §2.2.2)."""
     ua = user_agent.lower().split("/")[0].strip()
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
@@ -59,8 +82,7 @@ def parse_robots_rules(body: str,
         groups.append((cur_agents, cur_rules))
     out: list[tuple[str, bool]] = []
     for agents, rules in groups:
-        if any(a == "*" or (a and a in ua) or (ua and ua in a)
-               for a in agents):
+        if any(a == "*" or (a and a in ua) for a in agents):
             out.extend(rules)
     return out
 
