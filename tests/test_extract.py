@@ -108,3 +108,92 @@ def test_hash_deterministic():
         multihash_sha256_b58(b"")
         == "QmdfTbBqBPQ7VNxZEYEj14VmRuZBkqFbiwReogJgS1zR1n"
     )
+
+
+def test_fast_scanner_equivalence_fuzz():
+    """The regex fast scanner must be byte-equivalent to _PageParser on
+    every page it accepts (it returns None -> parser fallback otherwise).
+    Generative fuzz over tags/attrs/entities/comments/script-cdata plus
+    the deliberate quirk triggers (bare '<', quotes-in-values, unclosed
+    titles) that must route to fallback rather than diverge."""
+    import random
+    from walk_spark.functions.extract import _PageParser, _scan_page
+
+    def ref(h):
+        p = _PageParser()
+        try:
+            p.feed(h)
+            p.close()
+        except Exception:
+            pass
+        return (p.hrefs, p.title_parts, p.text_parts)
+
+    rnd = random.Random(20260817)
+    tags = ["a", "p", "div", "span", "link", "title", "script", "style",
+            "em", "b", "head", "body", "ul", "li"]
+
+    def gen_doc():
+        parts = []
+        for _ in range(rnd.randrange(1, 30)):
+            c = rnd.random()
+            if c < 0.30:
+                t = rnd.choice(tags)
+                attrs = ""
+                for _ in range(rnd.randrange(0, 4)):
+                    name = rnd.choice(
+                        ["href", "src", "class", "HREF", "data-x"])
+                    style = rnd.random()
+                    val = rnd.choice(
+                        ["x", "a b", "x&amp;y", "http://h/p?a=1&b=2", "",
+                         "with'q", 'do"q', "α", "../rel", "#f", "a=b"])
+                    if style < 0.5:
+                        attrs += f' {name}="{val}"'
+                    elif style < 0.7:
+                        attrs += f" {name}='{val}'"
+                    elif style < 0.9:
+                        attrs += f" {name}={val.split(' ')[0]}"
+                    else:
+                        attrs += f" {name}"
+                self_c = "/" if rnd.random() < 0.15 else ""
+                parts.append(f"<{t}{attrs}{self_c}>")
+                if not self_c and rnd.random() < 0.85:
+                    if t in ("script", "style"):
+                        parts.append(rnd.choice(
+                            ["var a=1;", "a < b", "<div>in</div>",
+                             "s='</div>'"]))
+                    else:
+                        parts.append(rnd.choice(
+                            ["text", "a &amp; b", "  sp  ", "&#65;b",
+                             "&lt;t&gt;", "&nbsp;y"]))
+                    if rnd.random() < 0.9:
+                        parts.append(f"</{t}>")
+            elif c < 0.40:
+                parts.append(rnd.choice(
+                    ["<!-- c -->", "<!-- a<b> -->", "<!DOCTYPE html>",
+                     "<?pi d?>", "<![CDATA[x]]>", "<!decl>"]))
+            else:
+                parts.append(rnd.choice(
+                    ["plain", " \n ", "&amp;", "end.", "a<b", "<", "ü"]))
+        return "".join(parts)
+
+    fast = 0
+    for _ in range(8000):
+        h = gen_doc()
+        s = _scan_page(h)
+        if s is None:
+            continue  # fallback path IS the reference parser
+        fast += 1
+        assert tuple(s) == ref(h), h
+    assert fast > 500  # the fast path must actually engage
+
+
+def test_fast_scanner_takes_fixture_pages():
+    """The corpora the engine actually crawls must ride the fast path."""
+    from walk_spark.functions.extract import _scan_page
+    from walk_spark.sources.pages import _page_html
+    h = _page_html(
+        "t", [("http://a.test/x", "x"), ("rel/y.html", "y")], ["para"]
+    ).decode()
+    assert _scan_page(h) == (
+        ["http://a.test/x", "rel/y.html"], ["t"], ["x", "y", "para"]
+    )

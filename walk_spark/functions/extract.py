@@ -23,6 +23,7 @@ script/style/head in document order, joined by a single space.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -88,6 +89,131 @@ class _PageParser(HTMLParser):
                 self.text_parts.append(s)
 
 
+# ---------------------------------------------------------------------------
+# fast scanner — a regex tokenizer replicating _PageParser's observable
+# outputs (hrefs in document order from any tag, title text, stripped body
+# text chunks outside script/style) on well-formed markup, at ~2-3x the
+# throughput of html.parser's state machine. Any construct whose
+# html.parser behavior is quirky (bogus comments, unterminated tags, bare
+# '<' in text, attr-bearing </script>) returns None and the page falls
+# back to _PageParser — so the byte-identical text contract holds
+# unconditionally while typical pages take the fast path. Equivalence is
+# fuzzed in tests/test_extract.py over generated + mutated markup.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+
+_RX_START = re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[^\s/=>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^>\s]*))?)*)"
+    r"\s*(/?)>"
+)
+_RX_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_RX_ATTR = re.compile(
+    r"([^\s/=>]+)(\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^>\s]*)))?"
+)
+#: strict whole-block validation: attr names and unquoted values must be
+#: quote-free, quoted values end at their own quote — anything else (a
+#: stray quote mid-value, html.parser's tolerant re-sync) -> fallback
+_RX_ATTRS_OK = re.compile(
+    r"(?:\s+[^\s/=>\"']+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^>\s\"']*))?)*\s*"
+)
+_RX_CDATA_END = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+    for t in ("script", "style")
+}
+
+
+def _scan_page(html: str):
+    """(hrefs, title_parts, text_parts) or None → use _PageParser."""
+    hrefs: list[str] = []
+    title_parts: list[str] = []
+    text_parts: list[str] = []
+    in_title = False
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        end = n if lt == -1 else lt
+        if end > i:
+            data = html[i:end]
+            if "&" in data:
+                data = _unescape(data)
+            if in_title:
+                title_parts.append(data)
+            else:
+                s = data.strip()
+                if s:
+                    text_parts.append(s)
+        if lt == -1:
+            break
+        nxt = html[lt + 1:lt + 2]
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                c = html.find("-->", lt + 4)
+                if c == -1:
+                    return None  # unterminated comment: parser-quirk zone
+                i = c + 3
+            elif html.startswith("<![", lt):
+                return None  # CDATA-section / marked-section quirks
+            else:
+                c = html.find(">", lt + 2)
+                if c == -1:
+                    return None
+                i = c + 1  # <!DOCTYPE ...> and friends
+        elif nxt == "?":
+            c = html.find(">", lt + 2)
+            if c == -1:
+                return None
+            i = c + 1  # processing instruction: ends at first '>'
+        elif nxt == "/":
+            m = _RX_END.match(html, lt)
+            if not m:
+                return None  # bogus end tag
+            if m.group(1).lower() == "title":
+                in_title = False
+            i = m.end()
+        elif nxt.isalpha():
+            m = _RX_START.match(html, lt)
+            if not m:
+                return None  # malformed start tag
+            tag = m.group(1).lower()
+            attrs, selfclosing = m.group(2), bool(m.group(3))
+            if attrs:
+                if not _RX_ATTRS_OK.fullmatch(attrs):
+                    return None  # ambiguous quoting: parser re-syncs oddly
+                for am in _RX_ATTR.finditer(attrs):
+                    if am.group(1).lower() == "href" and am.group(2):
+                        v = (am.group(3) if am.group(3) is not None
+                             else am.group(4) if am.group(4) is not None
+                             else am.group(5))
+                        hrefs.append(_unescape(v) if "&" in v else v)
+            i = m.end()
+            if selfclosing:
+                continue  # startendtag: hrefs only, no mode changes
+            if tag == "title":
+                in_title = True
+            elif tag in ("script", "style"):
+                if in_title:
+                    # parser's title capture takes precedence over CDATA
+                    # skipping (script inside an unclosed <title>) — quirk
+                    return None
+                # CDATA content mode: everything to the matching clean
+                # close tag is (skipped) data; html.parser's handling of
+                # attr-bearing close tags here is quirky -> fallback
+                mc = _RX_CDATA_END[tag].search(html, i)
+                if not mc:
+                    return None
+                between = html[i:mc.start()]
+                if "</" in between.lower() and re.search(
+                    r"</\s*%s" % tag, between, re.IGNORECASE
+                ):
+                    return None  # a '</script'-ish prefix without clean '>'
+                i = mc.end()
+        else:
+            return None  # literal '<' in text: parser emits it alone
+    return hrefs, title_parts, text_parts
+
+
 def parse_page(url: str, body: bytes | None) -> tuple[str, list[str], str, str, str]:
     """Extract (title, links, text, content_sniff, hash) from one page."""
     sniff = detect_content_type(body)
@@ -95,12 +221,19 @@ def parse_page(url: str, body: bytes | None) -> tuple[str, list[str], str, str, 
     if body is None or sniff not in HTML_PARSEABLE:
         return "", [], "", sniff, chash
     html = bytes(body).decode("utf-8", errors="replace")
-    p = _PageParser()
-    try:
-        p.feed(html)
-        p.close()
-    except Exception:
-        pass
+    scanned = _scan_page(html)
+    if scanned is not None:
+        class _S:  # duck-typed result holder, same attrs as _PageParser
+            pass
+        p = _S()
+        p.hrefs, p.title_parts, p.text_parts = scanned
+    else:
+        p = _PageParser()
+        try:
+            p.feed(html)
+            p.close()
+        except Exception:
+            pass
     # resolve + normalize + first-seen-order dedup (lib/resource.go:171-184)
     links: list[str] = []
     seen: set[str] = set()

@@ -51,7 +51,7 @@ ORDER_COLS = ["depth", "discovery_seq", "url"]
 
 def canonical_host_col(url: Column) -> Column:
     """JVM-side canonical host: parse_url HOST, lowercased, www-stripped."""
-    h = F.lower(F.parse_url(url, F.lit("HOST")))
+    h = F.lower(F.try_parse_url(url, F.lit("HOST")))
     return F.coalesce(F.regexp_replace(h, r"^www\.", ""), F.lit(""))
 
 

@@ -172,7 +172,7 @@ def apply_robots(candidates: DataFrame, robots: DataFrame | None,
     )
     path = (
         F.col(path_col) if path_col is not None
-        else F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+        else F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
     )
     joined = candidates.join(
         by_host, candidates["host"] == by_host["_rhost"], "left"

@@ -705,13 +705,13 @@ class Crawler:
         url = F.col("url")
         if authority is None:
             authority = F.lower(
-                F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit(""))
+                F.coalesce(F.try_parse_url(url, F.lit("AUTHORITY")), F.lit(""))
             )
         exact = [a for (a, pre) in self._domains if not pre]
         prefixed = [(a, pre) for (a, pre) in self._domains if pre]
         keep = authority.isin(exact) if exact else F.lit(False)
         if prefixed and path is None:
-            path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+            path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
         for (auth, pre) in prefixed:
             keep = keep | (
                 (authority == F.lit(auth)) & path.startswith(F.lit(pre))
@@ -1062,17 +1062,31 @@ class Crawler:
                 F.posexplode_outer("links").alias("ordinal", "url"),
             ).filter(F.col("url").isNotNull())
             # candidates are the loop's highest-volume stream (pages ×
-            # out-degree): parse the url ONCE (parse_url builds a
-            # java.net.URI per call — the old shape paid it 3×: domain
-            # filter, canonical host, robots path) and derive the domain
-            # filter, canonical host, and robots path from the AUTHORITY
-            # slice with plain substring expressions. All JVM-side — a
-            # Python pass here would double the superstep's UDF cost.
+            # out-degree): the old shape paid parse_url (a java.net.URI
+            # construction per call) 3-4× per candidate — domain filter,
+            # canonical host, robots path. Candidates are NORMALIZED urls
+            # (no fragments, scheme://authority[/path][?query]), so the
+            # authority is the slice between "://" and the first "/" or
+            # "?" — plain substring expressions, no URI parse at all.
+            # Urls without "://" get authority "" (can never match a
+            # domain). Deliberate deviation from java.net.URI strictness:
+            # a normalized url whose PATH java.net.URI would reject
+            # (e.g. an unencoded space) now keeps its authority and can
+            # match — which is Go url.Parse's behavior, i.e. closer to
+            # the reference than the old parse_url gate. All JVM-side —
+            # a Python pass here would double the superstep's UDF cost.
+            _sep = F.locate("://", F.col("url"))
+            _after = F.substring(
+                F.col("url"), _sep + F.lit(3), F.lit(2147483647)
+            )
             cands = cands.withColumn(
                 "_auth",
-                F.lower(F.coalesce(
-                    F.parse_url(F.col("url"), F.lit("AUTHORITY")), F.lit("")
-                )),
+                F.when(
+                    _sep > 0,
+                    F.lower(F.substring_index(
+                        F.substring_index(_after, "/", 1), "?", 1
+                    )),
+                ).otherwise(F.lit("")),
             )
             need_path = (
                 any(pre for (_a, pre) in self._domains)
