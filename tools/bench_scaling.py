@@ -89,7 +89,7 @@ def _parse_pages(n):
     return tot
 
 
-def parse_calibration(procs: int, per: int = 3000) -> float:
+def parse_calibration(procs: int, per: int = 6000) -> float:
     """Workload-representative ceiling: perfectly-parallel multiprocessing
     of the SAME html-parse/extract kernel the crawl spends most of its CPU
     in. String/memory-bound work gains almost nothing from SMT, so on this
