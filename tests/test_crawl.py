@@ -298,3 +298,42 @@ def test_long_crawl_terminal_compaction_bounds_state(spark):
     ]
     # state stays O(active): the queued set the loop re-pins is ≤ 1 row
     assert c._queued.count() == 0
+
+
+def test_invalid_corpus_url_does_not_crash_crawl(spark):
+    """Spark 4's ANSI-mode parse_url THROWS on urls java.net.URI rejects;
+    every call site uses try_parse_url / substring derivation so one
+    malformed url (raw space, bad bracket) in a page or link can't kill a
+    crawl stage. The malformed link must simply fail its fetch."""
+    import datetime as dt
+    from walk_spark.config import CrawlConfig
+    from walk_spark.plans.crawl import crawl
+    from walk_spark.sources.pages import PAGES_SCHEMA, _page_html
+
+    rows = [
+        (
+            "http://inv.test/", dt.datetime(2020, 1, 1),
+            _page_html("root", [
+                ("http://inv.test/a b.html", "space link"),
+                ("http://inv.test/[bad", "bracket link"),
+                ("http://inv.test/ok.html", "good link"),
+            ], ["root page"]),
+            "", "en", 200, "text/html; charset=utf-8", None,
+        ),
+        (
+            "http://inv.test/ok.html", dt.datetime(2020, 1, 2),
+            _page_html("ok", [], ["fine"]),
+            "", "en", 200, "text/html; charset=utf-8", None,
+        ),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    cfg = CrawlConfig(seeds=["http://inv.test/"],
+                      domains=["http://inv.test"], max_attempts=1)
+    r = crawl(spark, pages, cfg)  # must not raise
+    ok = {x["url"] for x in r.ok_resources().select("url").collect()}
+    assert "http://inv.test/ok.html" in ok
+    # the malformed candidates were enqueued (their authority matches the
+    # domain — Go url.Parse parity) and failed their fetch without error
+    statuses = {x["url"]: x["status"]
+                for x in r.frontier.select("url", "status").collect()}
+    assert statuses.get("http://inv.test/a b.html") == "failed"
