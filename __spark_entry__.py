@@ -465,11 +465,62 @@ def _robots_gate(spark, sf_dir):
     return apply_robots(cands, rules).select("url").orderBy("url")
 
 
+def _cuckoo_seen_filter(spark, sf_dir):
+    """URL-seen anti-join through the CUCKOO prefilter (operators.cuckoo —
+    the north rule's second filter kind): candidates whose partition
+    filter says "definitely new" skip the exact anti-join; "maybe seen"
+    candidates are confirmed exactly, so the output equals the plain
+    anti-join the oracle computes."""
+    from walk_spark.operators import cuckoo as CK
+    from walk_spark.operators import dedup as D
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".test/d/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        (F.col("doc_id") % 8).cast("int").alias("part_id"),
+        "doc_id",
+    )
+    seen = base.filter(F.col("doc_id") % 3 == 0).select("part_id", "url")
+    cands = base.select("part_id", "url")
+    filters = CK.build_cuckoo_partitions(seen, 0, 1 << 20)
+    return (
+        D.anti_join_seen(cands, seen, filters,
+                         filters_bytes=8 * (1 << 20) // 8,
+                         filter_kind="cuckoo")
+        .select("url").orderBy("url")
+    )
+
+
+def _priority_pick(spark, sf_dir):
+    """Priority-queue frontier pick (operators.politeness with a priority
+    order — north rule "priority queue"): top-5 urls per host by a
+    priority expression (desc), canonical FIFO order as tie-break."""
+    from walk_spark.operators.frontier import ORDER_COLS
+    from walk_spark.operators.politeness import pick_budget_window
+    ev = _t(spark, sf_dir, "events")
+    queued = ev.select(
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_id").cast("string").alias("url"),
+        F.lit(0).alias("depth"),
+        F.col("event_id").cast("long").alias("discovery_seq"),
+        F.col("value").cast("double").alias("value"),
+    )
+    order = [F.col("value").desc()] + [F.col(c) for c in ORDER_COLS]
+    return (
+        pick_budget_window(queued, 5, order=order)
+        .select("host", "url", F.round("value", 4).alias("value"))
+        .orderBy("host", "url")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
         "robots_gate": _robots_gate,
         "seen_anti_join": _seen_anti_join,
+        "cuckoo_seen_filter": _cuckoo_seen_filter,
+        "priority_pick": _priority_pick,
         "inbound_links": _inbound_links,
         "argmax_latest": _argmax_latest,
         "timespan": _timespan,
@@ -645,6 +696,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "cuckoo_seen_filter": """
+            WITH u AS (
+              SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.test/d/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id
+              FROM documents)
+            SELECT url FROM u c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM u s
+              WHERE s.doc_id % 3 = 0 AND s.url = c.url)
+            ORDER BY url
+        """,
+        "priority_pick": """
+            SELECT host, url, value FROM (
+              SELECT CAST(user_id AS VARCHAR) AS host,
+                     CAST(event_id AS VARCHAR) AS url,
+                     round(CAST(value AS DOUBLE), 4) AS value,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(value AS DOUBLE) DESC,
+                                event_id ASC,
+                                CAST(event_id AS VARCHAR) ASC
+                     ) AS rn
+              FROM events)
+            WHERE rn <= 5
+            ORDER BY host, url
         """,
         "seen_anti_join": """
             SELECT DISTINCT user_id FROM events e1

@@ -41,7 +41,8 @@ def make_session(cpus: int) -> SparkSession:
 
 
 def bench_crawl(spark: SparkSession, n_urls: int = 20000,
-                use_bloom: bool = True) -> tuple[float, dict]:
+                use_bloom: bool = True,
+                seen_filter: str = "bloom") -> tuple[float, dict]:
     from walk_spark.config import CrawlConfig
     from walk_spark.plans.crawl import Crawler
     from walk_spark.sources.pages import skewed_corpus, skewed_url
@@ -62,6 +63,7 @@ def bench_crawl(spark: SparkSession, n_urls: int = 20000,
         # items/partition and just moves dead bytes at 20k urls
         bloom_expected_items=n_urls,
         bloom_num_bits=max(10 * n_urls // 32, 65536),
+        seen_filter=seen_filter,
     )
     c = Crawler(spark, pages, cfg)
     c.warm()  # input-table residency is a warehouse property, not crawl work
@@ -165,6 +167,11 @@ def main() -> None:
     # actual bloom delta); the headline (bloom on) follows.
     nb_s, nb_stats = bench_crawl(spark, use_bloom=False)
     nb_stats["wall_s"] = round(nb_s, 3)
+    # cuckoo-filter variant of the same job (north rule "bloom/cuckoo") —
+    # evidence the second filter kind is performance-par, not just correct
+    ck_s, ck_stats = bench_crawl(spark, use_bloom=True, seen_filter="cuckoo")
+    ck_stats["seen_filter"] = "cuckoo"
+    ck_stats["wall_s"] = round(ck_s, 3)
     crawl_s, crawl_stats = bench_crawl(spark, use_bloom=True)
     times["crawl"] = round(crawl_s, 3)
     total = round(sum(times.values()), 3)
@@ -176,6 +183,7 @@ def main() -> None:
         "sf": sf,
         "crawl": crawl_stats,
         "crawl_nobloom": nb_stats,
+        "crawl_cuckoo": ck_stats,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -79,6 +79,23 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_expected_items: int = 1_000_000
     bloom_num_bits: int = 8_388_608
+    #: which URL-seen prefilter kind ``use_bloom`` maintains (north rule
+    #: "bloom/cuckoo URL-seen"): "bloom" (numpy bitsets, operators.dedup)
+    #: or "cuckoo" (fingerprint table, operators.cuckoo — supports
+    #: deletion). Both share the bloom_num_bits BYTE budget (bits/8), the
+    #: same (part_id, bf) table shape and both probe plans; crawls are
+    #: byte-identical across kinds (tests/test_cuckoo.py).
+    seen_filter: str = "bloom"
+    #: frontier pick order (north rule "priority queue"): "fifo" (default
+    #: — canonical (depth, discovery_seq, url) order, the reference's
+    #: queue.go:12-14 contract) or "priority" — order by ``priority_expr``
+    #: (a SQL expression over frontier columns: depth, discovery_seq, url,
+    #: host, attempts, prev_http_status, superstep; HIGHER first) with the
+    #: canonical order as tie-break. Affects only which queued urls a
+    #: budgeted/capped superstep picks first; discovery numbering and the
+    #: seen set stay deterministic.
+    queue_mode: str = "fifo"
+    priority_expr: str = ""
     max_redirects: int = 10
     max_supersteps: int = 1000
     #: "corpus" (default): simulated GET via join against the pages table;

@@ -214,6 +214,17 @@ def prepare_bloom_broadcast(blooms: DataFrame, registry: list | None = None):
     return bc
 
 
+def _probe_filter_bytes(buf: bytes, urls, filter_kind: str) -> np.ndarray:
+    """Dispatch a serialized per-partition filter probe by kind: "bloom"
+    (raw bitset, this module) or "cuckoo" (operators.cuckoo — the north
+    rule's second filter kind). Both return a maybe-seen bool mask with no
+    false negatives, so ``anti_join_seen``'s output is kind-invariant."""
+    if filter_kind == "cuckoo":
+        from walk_spark.operators.cuckoo import probe_cuckoo_bytes
+        return probe_cuckoo_bytes(buf, urls)
+    return _probe_bits(np.frombuffer(buf, dtype=np.uint8), urls)
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -221,6 +232,7 @@ def anti_join_seen(
     filters_bytes: int | None = None,
     prepared_bc=None,
     registry: list | None = None,
+    filter_kind: str = "bloom",
 ) -> DataFrame:
     """D2: candidates not present in the seen set (exact url-string match).
 
@@ -265,8 +277,8 @@ def anti_join_seen(
                 if bf is None:
                     continue
                 idx = np.nonzero(pv == p)[0]
-                bits = np.frombuffer(bf, dtype=np.uint8)
-                out[idx] = _probe_bits(bits, urls.iloc[idx])
+                out[idx] = _probe_filter_bytes(bf, urls.iloc[idx],
+                                               filter_kind)
             return pd.Series(out)
 
         from pyspark.sql.types import BooleanType
@@ -284,8 +296,8 @@ def anti_join_seen(
                 return cand.assign(_maybe=pd.Series([], dtype=bool))
             if bf_pdf.empty:
                 return cand.assign(_maybe=False)
-            bits = np.frombuffer(bf_pdf["bf"].iloc[0], dtype=np.uint8)
-            return cand.assign(_maybe=_probe_bits(bits, cand["url"]))
+            return cand.assign(_maybe=_probe_filter_bytes(
+                bf_pdf["bf"].iloc[0], cand["url"], filter_kind))
 
         c = (
             candidates.groupBy("part_id")

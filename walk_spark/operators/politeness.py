@@ -44,7 +44,8 @@ _TWO_PHASE_THRESHOLD = 1_000_000
 
 def pick_budget_window(queued: DataFrame, budget: int,
                        budget_overrides: DataFrame | None = None,
-                       approx_queued: int | None = None) -> DataFrame:
+                       approx_queued: int | None = None,
+                       order: list | None = None) -> DataFrame:
     """Select ≤ budget urls per canonical host, in canonical crawl order.
 
     ``budget_overrides`` (host, budget) lowers individual hosts' budgets —
@@ -55,10 +56,16 @@ def pick_budget_window(queued: DataFrame, budget: int,
     ``approx_queued`` (an exact tracked count, despite the name guarding
     against stale callers): when provided and under the two-phase threshold,
     the salted prefilter window is skipped — one shuffle instead of two.
+
+    ``order``: Column sort order replacing the canonical FIFO order — the
+    priority-queue mode (north rule): callers pass a priority expression
+    (desc) followed by ORDER_COLS as tie-break. Any deterministic total
+    order is safe under the two-phase prefilter: a row in a host's global
+    top-k under the order is also in its (host, salt) bucket's top-k.
     """
     if budget <= 0:
         return queued
-    order = [F.col(c) for c in ORDER_COLS]
+    order = order if order is not None else [F.col(c) for c in ORDER_COLS]
     w2 = Window.partitionBy("host").orderBy(*order)
     d = queued
     eff = F.lit(budget)
@@ -101,13 +108,15 @@ def pick_budget_pandas(queued: DataFrame, budget: int) -> DataFrame:
     return queued.groupBy("host").applyInPandas(_pick, schema=schema)
 
 
-def cap_batch(batch: DataFrame, max_batch_size: int) -> DataFrame:
+def cap_batch(batch: DataFrame, max_batch_size: int,
+              order: list | None = None) -> DataFrame:
     """Global backpressure (replaces the 150-deep queue chan,
-    lib/queue.go:33): keep the max_batch_size first urls in canonical order.
+    lib/queue.go:33): keep the max_batch_size first urls in canonical order
+    (or a caller-supplied priority ``order``, see pick_budget_window).
     Same two-phase trick, bucketed by url hash, so no global sort."""
     if max_batch_size <= 0:
         return batch
-    order = [F.col(c) for c in ORDER_COLS]
+    order = order if order is not None else [F.col(c) for c in ORDER_COLS]
     salt = F.pmod(F.xxhash64("url"), F.lit(_SALTS))
     w1 = Window.partitionBy(salt).orderBy(*order)
     w2 = Window.partitionBy(F.lit(1)).orderBy(*order)

@@ -386,13 +386,27 @@ class Crawler:
 
     # -- superstep stages ---------------------------------------------------
 
+    def _pick_order(self) -> list | None:
+        """None = canonical FIFO order; queue_mode='priority' orders the
+        budgeted pick by cfg.priority_expr (higher first), canonical order
+        as tie-break (north rule "priority queue")."""
+        cfg = self.cfg
+        if cfg.queue_mode == "fifo":
+            return None
+        if cfg.queue_mode != "priority":
+            raise ValueError(f"unknown queue_mode {cfg.queue_mode!r}")
+        pr = F.expr(cfg.priority_expr) if cfg.priority_expr else F.lit(0)
+        return [pr.desc()] + [F.col(c) for c in ORDER_COLS]
+
     def _pick_batch(self, queued: DataFrame) -> DataFrame:
+        order = self._pick_order()
         b = P.pick_budget_window(
             queued, self.cfg.effective_host_budget(),
             budget_overrides=self._backoff_hosts,
             approx_queued=self._queued_count,
+            order=order,
         )
-        return P.cap_batch(b, self.cfg.max_batch_size)
+        return P.cap_batch(b, self.cfg.max_batch_size, order=order)
 
     def _redirect_chains(self) -> DataFrame | None:
         """Resolve every redirect chain in the corpus ONCE (F6 — the
@@ -505,8 +519,9 @@ class Crawler:
             superstep = self.superstep
         self._jd(f"ss{superstep}:bloom_merge")
         items = cfg.bloom_expected_items // cfg.seen_partitions
+        build, merge = self._filter_ops()
         if self._blooms is None:
-            self._blooms = self._pin(D.build_bloom_partitions(
+            self._blooms = self._pin(build(
                 frontier.select("part_id", "url"), items,
                 cfg.bloom_num_bits,
             ))
@@ -515,12 +530,25 @@ class Crawler:
             delta = frontier.filter(
                 F.col("superstep") > self._bloom_hwm
             ).select("part_id", "url")
-            self._blooms = self._pin(D.merge_bloom_partitions(
+            self._blooms = self._pin(merge(
                 self._blooms,
-                D.build_bloom_partitions(delta, items, cfg.bloom_num_bits),
+                build(delta, items, cfg.bloom_num_bits),
             ))
             self._bloom_hwm = superstep - 1
         return self._blooms
+
+    def _filter_ops(self):
+        """(build, merge) for the configured URL-seen prefilter kind —
+        north rule "bloom/cuckoo". Same (part_id, bf) table shape either
+        way, so everything downstream (pin, broadcast-vs-cogroup probe,
+        release) is kind-agnostic."""
+        kind = self.cfg.seen_filter
+        if kind == "cuckoo":
+            from walk_spark.operators import cuckoo as CK
+            return CK.build_cuckoo_partitions, CK.merge_cuckoo_partitions
+        if kind != "bloom":
+            raise ValueError(f"unknown seen_filter {kind!r}")
+        return D.build_bloom_partitions, D.merge_bloom_partitions
 
     def _filters_bytes(self) -> int:
         """Total filter-table bytes, CONFIG-derived (seen_partitions ×
@@ -555,11 +583,12 @@ class Crawler:
         frontier), merged lazily."""
         cfg = self.cfg
         items = cfg.bloom_expected_items // cfg.seen_partitions
+        build, merge = self._filter_ops()
         blooms = pinned if pinned is not None else self._update_blooms_pinned()
         if redirect_terminals is not None:
-            blooms = D.merge_bloom_partitions(
+            blooms = merge(
                 blooms,
-                D.build_bloom_partitions(
+                build(
                     redirect_terminals.select("part_id", "url"), items,
                     cfg.bloom_num_bits,
                 ),
@@ -1159,6 +1188,7 @@ class Crawler:
             fresh = D.anti_join_seen(
                 cands, seen, blooms, filters_bytes,
                 prepared_bc=prepared_bc, registry=self._bloom_registry,
+                filter_kind=self.cfg.seen_filter,
             )
             # anti_join_seen's lazy checkpoint materializes the candidate
             # pipeline's shuffle stages here (AQE executes query stages on
