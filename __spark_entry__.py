@@ -362,6 +362,28 @@ def _ann_lsh_topk(spark, sf_dir):
     return SIM.ann_topk_lsh(u, qv, k=10, bits=8, n_probe_flips=4)
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    # IVF coarse-quantizer ANN (operators.ivf — the learned-region prune
+    # path next to RP-LSH): the 9 injected query copies assign to the
+    # query's own argmax cluster with probability 1, and the query probes
+    # that cluster first, so the IVF top-10 equals the exact brute-force
+    # top-10 (ten cosine-1.0 rows, ties by vec_id) — the same DuckDB
+    # oracle as ann_lsh_topk. Cluster SHAPES may vary with float summation
+    # order; the result set provably does not.
+    from walk_spark.operators import ivf as IVF
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    copies = [
+        q.withColumn("vec_id", F.col("vec_id") + k * 1_000_000)
+        for k in range(1, 10)
+    ]
+    u = emb
+    for c in copies:
+        u = u.unionByName(c)
+    qv = _query_vec(spark, sf_dir)
+    return IVF.ivf_topk(u, qv, k=10, n_clusters=8, nprobe=3, iters=2)
+
+
 def _embedding_dups(spark, sf_dir):
     # inject exact-duplicate vectors (vec_id + 1e6): identical vectors
     # collide in every LSH band with probability 1, and the banded 4x8
@@ -541,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _simhash,
         "embedding_cosine_topk": _cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "embedding_dup_pairs": _embedding_dups,
         "graph_degrees": _graph_degrees,
         "graph_pagerank_topk": _graph_pagerank,
@@ -941,6 +964,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "ann_lsh_topk": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT e.vec_id + 1000000 * g.k AS vec_id, e.embedding
+              FROM embeddings e,
+                   (SELECT unnest(generate_series(1, 9)) AS k) g
+              WHERE e.vec_id = 0),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT u.vec_id,
+                   CAST(round(list_cosine_similarity(u.embedding, q.embedding),
+                              4) AS DOUBLE) AS cosine
+            FROM u, q
+            ORDER BY cosine DESC, u.vec_id ASC
+            LIMIT 10
+        """,
+        # the IVF query's contract mirrors ann_lsh_topk's: injected
+        # identical copies make the approximate top-10 provably equal the
+        # exact top-10, so the oracle is the same brute-force SQL
+        "ann_ivf_topk": """
             WITH u AS (
               SELECT vec_id, embedding FROM embeddings
               UNION ALL

@@ -93,7 +93,8 @@ def main() -> None:
         "q1_pricing_summary", "argmax_latest", "last_write_wins",
         "dedup_exact", "token_stats", "quality_score", "jaccard_pairs",
         "minhash_lsh_dedup", "simhash_dedup", "embedding_cosine_topk",
-        "ann_lsh_topk", "ann_lsh_topk_served", "embedding_dup_pairs",
+        "ann_lsh_topk", "ann_lsh_topk_served", "ann_ivf_topk_served",
+        "embedding_dup_pairs",
     ]
 
     # the driver-contract queries for the sketch-dedup family are the
@@ -145,11 +146,25 @@ def main() -> None:
             index_path=_ann_ix, spark=spark,
         )
 
+    # served IVF: same amortization shape as the LSH index — k-means fit
+    # + partitioned write once outside the clock, probed-cluster pruning
+    # per query
+    from walk_spark.operators import ivf as IVF
+
+    _ivf_ix = tempfile.mkdtemp(prefix="ivfix_")
+    IVF.write_ivf_index(emb, _ivf_ix, dim=64, k=16, iters=2)
+
+    def _bench_ivf_served(spark, sf_dir):
+        return IVF.ivf_topk(
+            None, _ann_qv, k=10, nprobe=3, index_path=_ivf_ix, spark=spark,
+        )
+
     bench_fns = dict(qfns)
     bench_fns["minhash_lsh_dedup"] = _bench_minhash
     bench_fns["simhash_dedup"] = _bench_simhash
     bench_fns["embedding_dup_pairs"] = _bench_embedding_dups
     bench_fns["ann_lsh_topk_served"] = _bench_ann_served
+    bench_fns["ann_ivf_topk_served"] = _bench_ivf_served
 
     times: dict[str, float] = {}
     for name in headline:
