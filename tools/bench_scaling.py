@@ -442,8 +442,7 @@ Column notes: *dominant-superstep eff* measures only the biggest superstep
 stage API). The *cpu ratio W = cpu_4N / cpu_N* is an in-JVM hardware
 control: the distributed work is identical at both levels (same job, same
 input, order-hash-equal output), so any W > 1 is this box inflating the
-SAME work's CPU-seconds at 32 threads — SMT pairs sharing
-{n4_cpus // 2} physical cores plus one memory bus. Under perfect task
+SAME work's CPU-seconds at {n4_cpus} threads — {'SMT pairs sharing the 16 physical cores' if n4_cpus > 16 else 'co-tenant contention on this shared VM'} plus one memory bus. Under perfect task
 packing t ≈ cpu/threads, so **1/W is the hardware scaling ceiling for the
 JVM-bound stages measured from inside the job itself** (the external
 parse-kernel control measures the same thing for the Python-bound
@@ -472,8 +471,8 @@ pays ~none of this inflation.
   kernel **{cpu_med:.3f}** (stable across windows), html-parse kernel
   **{kern_med:.3f}** (memory-bound, swings with co-tenant bus load;
   excluded >1.0 samples: kernel {kern_drop}, cpu {cpu_drop}). The parse
-  kernel gains ~nothing from SMT on these {n4_cpus}-vCPU/
-  {n4_cpus // 2}-physical-core boxes, and a real 4x cluster multiplies
+  kernel gains ~nothing from SMT on this 32-vCPU/
+  16-physical-core box, and a real 4x cluster multiplies
   memory buses where local threads share one — it is the honest ceiling
   for a crawl pipeline in local mode.
 - **crawl order byte-identical across parallelism: {same_order}**
