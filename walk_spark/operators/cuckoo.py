@@ -327,6 +327,32 @@ def build_cuckoo_partitions(
     )
 
 
+def delete_cuckoo_partitions(filters: DataFrame,
+                             removed: DataFrame) -> DataFrame:
+    """Retract urls from a (part_id, bf) cuckoo filter table: each
+    partition's filter drops one resident fingerprint copy per removed url
+    (``delete_cuckoo_bytes``). ``removed`` is (part_id, url) — rows for
+    partitions with no filter are ignored; filters with no removals pass
+    through unchanged. This is the per-item deletion the bloom kind cannot
+    offer (shared bits) — the operational lever behind
+    ``Crawler.forget_urls``."""
+
+    def _delete(key, f: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if f.empty:
+            return pd.DataFrame({"part_id": [], "bf": []}).astype(
+                {"part_id": "int64"})
+        buf = f["bf"].iloc[0]
+        if not r.empty:
+            buf = delete_cuckoo_bytes(buf, r["url"])
+        return pd.DataFrame({"part_id": [int(key[0])], "bf": [buf]})
+
+    return (
+        filters.groupBy("part_id")
+        .cogroup(removed.select("part_id", "url").groupBy("part_id"))
+        .applyInPandas(_delete, schema="part_id int, bf binary")
+    )
+
+
 def merge_cuckoo_partitions(existing: DataFrame,
                             added: DataFrame) -> DataFrame:
     """Union two (part_id, bf) filter tables — the incremental-build path

@@ -811,6 +811,43 @@ class Crawler:
             if self._queued_count is not None:
                 self._queued_count += n
 
+    def forget_urls(self, urls: list[str]) -> int:
+        """Retract urls from the crawl state so they can be fetched again
+        (forced re-fetch after a config or content change — an extension;
+        the reference's RequestStore is Put/Get/List only,
+        lib/request_store.go:11-16). Removes the urls' frontier rows and
+        retracts them from the standing URL-seen prefilters:
+        ``seen_filter='cuckoo'`` deletes their fingerprints IN PLACE
+        (the per-item deletion the cuckoo kind exists for); bloom bitsets
+        share bits, so those filters are instead rebuilt from the reduced
+        frontier on next use. The resources/order outputs are an archive
+        log and keep their historical rows. Sized for operational lists
+        (the urls enter the plan as literals); returns rows removed."""
+        self._ensure_state()
+        urls = list(dict.fromkeys(urls))
+        if not urls:
+            return 0
+        hit = F.col("url").isin(urls)
+        n_total = self.frontier.filter(hit).count()
+        if n_total == 0:
+            return 0
+        n_q = self._queued.filter(hit).count()
+        if self._blooms is not None:
+            if self.cfg.seen_filter == "cuckoo":
+                from walk_spark.operators import cuckoo as CK
+                removed = self.frontier.filter(hit).select("part_id", "url")
+                self._blooms = self._pin(
+                    CK.delete_cuckoo_partitions(self._blooms, removed)
+                )
+            else:
+                self._blooms = None
+        self._queued = self._pin(self._queued.filter(~hit))
+        self._term_parts = [p.filter(~hit) for p in self._term_parts]
+        self._rebuild_frontier_view()
+        if self._queued_count is not None:
+            self._queued_count -= n_q
+        return n_total
+
     def run(self) -> CrawlResult:
         """F9 done-detection without a per-superstep emptiness probe: the
         queued count is tracked incrementally from superstep metrics
