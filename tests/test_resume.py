@@ -122,3 +122,20 @@ def test_manifest_per_partition_lineage(spark):
     outs = [rec["rows_out"] for rec in recs]
     assert outs == sorted(outs)
     assert outs[-1] == r.frontier.count()
+
+
+def test_kill_and_resume_identical_with_cuckoo_filter(spark):
+    """Resume is filter-kind-agnostic: a killed seen_filter='cuckoo' crawl
+    resumes byte-identically (the filters rebuild from the restored
+    frontier via the kind-dispatched _filter_ops, hwm reset included)."""
+    kw = dict(use_bloom=True, seen_filter="cuckoo",
+              bloom_num_bits=65536, seen_partitions=4)
+    wd = tempfile.mkdtemp()
+    pages = tree_site_pages(spark)
+    c = Crawler(spark, pages, _cfg(max_supersteps=2, **kw), workdir=wd)
+    c.run()
+    assert c.superstep == 2
+    c2 = Crawler.resume(spark, pages, _cfg(**kw), wd)
+    r_resumed = c2.run()
+    r_full = crawl(spark, pages, _cfg(**kw))
+    assert _order_tuples(r_resumed) == _order_tuples(r_full)
