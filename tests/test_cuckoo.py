@@ -34,6 +34,33 @@ def test_cuckoo_delete_removes_only_target():
     assert C.probe_cuckoo_bytes(out, urls[200:]).all()
 
 
+def test_cuckoo_delete_then_merge_keeps_residents():
+    """Regression (round-5 advice): deletion leaves HOLES in bucket slot
+    rows, so a later merge's placement rounds must target actual zero slots
+    — the old occ+rank placement overwrote resident fingerprints and turned
+    ~8% of retained urls into false negatives after delete-then-merge
+    (exactly the forget_urls -> next-superstep incremental-merge path)."""
+    nb = 65536 * 8
+    kept = [f"http://keep.test/{i}" for i in range(1700)]
+    gone = [f"http://gone.test/{i}" for i in range(400)]
+    buf = C.build_cuckoo_bytes(kept + gone, nb)
+    buf = C.delete_cuckoo_bytes(buf, gone)
+    delta = C.build_cuckoo_bytes(
+        [f"http://new.test/{i}" for i in range(2000)], nb)
+    merged = C.merge_cuckoo_bytes(buf, delta)
+    assert C.probe_cuckoo_bytes(merged, kept).all(), (
+        "delete-then-merge lost resident fingerprints (false negatives)")
+    # the delta's own entries survive too, and repeated merge cycles
+    # (delete -> merge -> delete -> merge) never drop a retained url
+    assert C.probe_cuckoo_bytes(
+        merged, [f"http://new.test/{i}" for i in range(2000)]).all()
+    buf2 = C.delete_cuckoo_bytes(merged, kept[:500])
+    merged2 = C.merge_cuckoo_bytes(
+        buf2, C.build_cuckoo_bytes([f"http://n2.test/{i}"
+                                    for i in range(1500)], nb))
+    assert C.probe_cuckoo_bytes(merged2, kept[500:]).all()
+
+
 def test_cuckoo_stash_bounded_at_sized_load():
     """At the sizing the crawl uses (≤ ~0.7 table load) the greedy
     two-choice build places essentially everything in the table; the stash

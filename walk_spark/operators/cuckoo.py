@@ -105,10 +105,20 @@ def _place_round(table: np.ndarray, occ: np.ndarray,
     uniq, starts, counts = np.unique(sb, return_index=True,
                                      return_counts=True)
     ranks = np.arange(n) - np.repeat(starts, counts)
-    slots = occ[sb] + ranks
-    ok = slots < _SLOTS
+    # Target ACTUAL zero slots, never occ + rank: delete_cuckoo_bytes zeroes
+    # arbitrary slots, so a bucket's occupied slots need not be contiguous —
+    # occ + rank would overwrite resident fingerprints after a delete,
+    # creating false negatives (the contract violation).
+    zmask = table[uniq] == 0                      # (u, _SLOTS)
+    zc = zmask.cumsum(axis=1)                     # 1-based ordinal of zeros
+    pos = np.full((len(uniq), _SLOTS), _SLOTS, dtype=np.int64)
+    zr, zcol = np.nonzero(zmask)
+    pos[zr, zc[zr, zcol] - 1] = zcol              # pos[u, k] = k-th free slot
+    bidx = np.repeat(np.arange(len(uniq)), counts)
+    slots = pos[bidx, np.minimum(ranks, _SLOTS - 1)]
+    ok = (ranks < _SLOTS) & (slots < _SLOTS)      # sentinel = bucket full
     table[sb[ok], slots[ok]] = fps[order][ok]
-    np.add.at(occ, uniq, np.minimum(counts, _SLOTS - occ[uniq]))
+    np.add.at(occ, uniq, np.minimum(counts, zmask.sum(axis=1)))
     placed = np.zeros(n, dtype=bool)
     placed[order[ok]] = True
     return placed
