@@ -184,5 +184,19 @@ def ivf_topk(embeddings: DataFrame | None, query_vec: list[float],
                                vec_col)
         assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     probes = probe_clusters(centroids, query_vec, nprobe)
+    # Force-include the query's own JVM-assigned cluster: the numpy probe
+    # ranking (pairwise dot) and the JVM assignment (sequential aggregate
+    # fold, possibly float32 element ops) can disagree on near-tie centroid
+    # cosines — without this, an identical stored copy of the query could
+    # sit in a cluster outside the probe list. Evaluated with the SAME
+    # _cluster_col expression over a literal cast to the corpus element
+    # type, so it is bit-identical to how a stored copy was assigned; one
+    # driver-local 1-row job, no corpus scan.
+    vec_lit = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+        assigned.schema["embedding"].dataType)
+    own = assigned.sparkSession.range(1).select(
+        _cluster_col(vec_lit, centroids).alias("c")).first()["c"]
+    if own not in probes:
+        probes = [own] + probes[:max(nprobe - 1, 0)]
     cand = assigned.filter(F.col("cluster").isin(probes))
     return cosine_topk(cand, query_vec, k, "vec_id", "embedding")
