@@ -337,3 +337,29 @@ def test_invalid_corpus_url_does_not_crash_crawl(spark):
     statuses = {x["url"]: x["status"]
                 for x in r.frontier.select("url", "status").collect()}
     assert statuses.get("http://inv.test/a b.html") == "failed"
+
+
+def test_crawl_order_identical_across_pin_widths(spark):
+    """Crawl ordering depends only on the (depth, discovery_seq, url) sort,
+    never on partition layout: the same job at an explicit narrow width and
+    at the level-proportional auto width (pin_width_factor x cores) must
+    produce identical order, frontier and sequence numbers. This is the
+    determinism contract behind making the width scale with cluster size."""
+    def run(**width_kw):
+        cfg = CrawlConfig(
+            seeds=["http://qri.test/"], domains=["http://qri.test"],
+            use_bloom=True, bloom_num_bits=65536, seen_partitions=4,
+            **width_kw,
+        )
+        r = crawl(spark, tree_site_pages(spark), cfg)
+        order = [(x["superstep"], x["discovery_seq"], x["url"])
+                 for x in r.order.orderBy("superstep", "discovery_seq",
+                                          "url").collect()]
+        front = sorted((x["url"], x["status"], x["depth"], x["discovery_seq"])
+                       for x in r.frontier.collect())
+        return order, front
+
+    narrow = run(pin_partitions=4)
+    wide = run(pin_partitions=48)
+    auto = run()  # default: pin_width_factor x defaultParallelism
+    assert narrow == wide == auto

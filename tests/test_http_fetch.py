@@ -219,3 +219,35 @@ def test_fetch_batch_crawl_delay_spacing(spark):
         assert min(gaps0) < 0.2, gaps0
     finally:
         srv.shutdown()
+
+
+def test_fetch_batch_robots_host_delay_override(spark):
+    """host_delay_ms (the robots-declared Crawl-delay, fetchbot
+    lib/worker.go:79-90): a host in the map is paced at ITS delay even when
+    the configured delay_ms is 0; hosts outside the map keep delay_ms."""
+    from walk_spark.sources.http_fetch import fetch_batch
+
+    _TimedHandler.times = []
+    srv = HTTPServer(("127.0.0.1", 0), _TimedHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host = f"127.0.0.1:{srv.server_port}"
+    base = f"http://{host}"
+    try:
+        urls = spark.createDataFrame(
+            [(f"{base}/q{i}.html",) for i in range(3)], ["url"]
+        ).coalesce(1)
+        out = fetch_batch(urls, delay_ms=0,
+                          host_delay_ms={host: 300}).collect()
+        assert all(r["status"] == 200 for r in out)
+        ts = sorted(t for _, t in _TimedHandler.times)
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert all(g >= 0.275 for g in gaps), gaps
+        # a DIFFERENT host's override does not slow this one
+        _TimedHandler.times = []
+        fetch_batch(urls, delay_ms=0,
+                    host_delay_ms={"other.test": 500}).collect()
+        ts0 = sorted(t for _, t in _TimedHandler.times)
+        gaps0 = [b - a for a, b in zip(ts0, ts0[1:])]
+        assert min(gaps0) < 0.2, gaps0
+    finally:
+        srv.shutdown()

@@ -212,3 +212,85 @@ Disallow: /general/
     # substring of the product token) but NOT 'googlebot-images'
     got = parse_robots_rules(body, "googlebot/2.1")
     assert got == [("/general/", False)]
+
+
+def test_parse_crawl_delay():
+    """Crawl-delay extraction (fetchbot honors a host's robots delay when
+    Polite — lib/worker.go:79-90): group-scoped, specific group wins over
+    *, conservative max among equal-specificity groups, malformed and
+    negative values ignored, rule extraction unaffected."""
+    from walk_spark.sources.robots import (
+        parse_robots_crawl_delay as cd, parse_robots_rules,
+    )
+    body = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /tmp\n\n"
+        "User-agent: walkbot\nCrawl-delay: 0.5\n"
+    )
+    assert cd(body, "other/1.0") == 2.0
+    assert cd(body, "walkbot/0.1") == 0.5   # specific beats the * group
+    assert cd("User-agent: *\nDisallow: /x", "any") is None
+    assert cd("User-agent: *\nCrawl-delay: soon", "any") is None
+    assert cd("User-agent: *\nCrawl-delay: -1", "any") is None
+    two = ("User-agent: walkbot\nCrawl-delay: 1\n\n"
+           "User-agent: walk\nCrawl-delay: 3\n")
+    assert cd(two, "walkbot/1") == 3.0      # max of matching specifics
+    # a Crawl-delay line terminates the agent list like a rule does: the
+    # next User-agent starts a NEW group
+    split = ("User-agent: a\nCrawl-delay: 7\nUser-agent: b\nDisallow: /q\n")
+    assert cd(split, "b/1") is None
+    assert cd(split, "a/1") == 7.0
+    assert parse_robots_rules(body, "other") == [("/tmp", False)]
+
+
+def test_crawl_delays_from_bodies(spark):
+    from walk_spark.sources.robots import crawl_delays_from_bodies
+    bodies = spark.createDataFrame(
+        [("a.test", "User-agent: *\nCrawl-delay: 1.5\nDisallow: /p"),
+         ("b.test", "User-agent: *\nDisallow: /x"),
+         ("c.test", None)],
+        "host string, robots_txt string")
+    rows = {r["host"]: r["crawl_delay_ms"]
+            for r in crawl_delays_from_bodies(bodies).collect()}
+    assert rows == {"a.test": 1500}
+
+
+def test_robots_crawl_delay_budget_override(spark):
+    """The BSP reading of the robots Crawl-delay: with superstep_seconds
+    modeling the round, a host declaring delay = 2x the configured one gets
+    HALF the per-superstep picks; declaring delay = half the configured one
+    RAISES its budget (fetchbot: the robots delay wins in both directions).
+    The visit SET never changes — only the schedule."""
+    from walk_spark.config import CrawlConfig
+    from walk_spark.plans.crawl import crawl
+    from walk_spark.sources.pages import tree_site_pages
+    from walk_spark.sources.robots import crawl_delays_from_bodies
+
+    pages = tree_site_pages(spark, breadth=3, depth=2)  # ~15 urls: the
+    # budget-2 run stays ~8 supersteps instead of ~44 on the full tree
+
+    def run(delay_s: float | None):
+        cfg = CrawlConfig(
+            seeds=["http://qri.test/"], domains=["http://qri.test"],
+            superstep_seconds=2, delay_milli=500,  # default budget = 4
+        )
+        delays = None
+        if delay_s is not None:
+            bodies = spark.createDataFrame(
+                [("qri.test", f"User-agent: *\nCrawl-delay: {delay_s}")],
+                "host string, robots_txt string")
+            delays = crawl_delays_from_bodies(bodies)
+        r = crawl(spark, pages, cfg, robots_delays=delays)
+        per = sorted(x["count"] for x in
+                     r.order.groupBy("superstep").count().collect())
+        return {x["url"] for x in r.frontier.collect()}, per, len(r.metrics)
+
+    base_set, base_per, base_steps = run(None)
+    assert max(base_per) == 4
+    slow_set, slow_per, slow_steps = run(1.0)   # budget 2000//1000 = 2
+    assert slow_set == base_set
+    assert max(slow_per) == 2
+    assert slow_steps > base_steps
+    fast_set, fast_per, fast_steps = run(0.25)  # budget 2000//250 = 8
+    assert fast_set == base_set
+    assert max(fast_per) == 8
+    assert fast_steps < base_steps

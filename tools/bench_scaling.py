@@ -39,7 +39,9 @@ Methodology (v3, all numbers disclosed in BENCH/BASELINE.md):
 - Each rep constructs a fresh Crawler; Spark's cache manager re-serves the
   persisted corpus by canonicalized plan, so only crawl work is timed.
 
-Usage: python tools/bench_scaling.py [n_urls] [N_cpus] [4N_cpus] [reps] [use_bloom]
+Usage: python tools/bench_scaling.py [n_urls] [N_cpus] [4N_cpus] [reps]
+       [use_bloom] [pin_width]   (pin_width 32 = fixed-width comparability
+       mode, 0 = the engine's level-proportional auto default)
 """
 
 from __future__ import annotations
@@ -112,6 +114,10 @@ import json, sys, time, hashlib
 from pyspark.sql import SparkSession
 
 cpus, n_urls, use_bloom = int(sys.argv[1]), int(sys.argv[2]), bool(int(sys.argv[3]))
+# pin/fetch-join width: >0 pins it across levels (comparability mode, the
+# historical protocol); 0 = the engine's level-proportional auto default
+# (pin_width_factor x cores — what a real deployment runs)
+pin_width = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 spark = (SparkSession.builder.master(f"local[{cpus}]")
          .appName("walk_spark-scaling")
          # the JOB config is held constant across cluster sizes — only the
@@ -149,6 +155,7 @@ def mk_cfg():
                        # per-superstep collect+broadcast
                        bloom_expected_items=n_urls,
                        bloom_num_bits=max(10 * n_urls // 32, 65536),
+                       pin_partitions=pin_width,
                        dedup_pages=False)  # generator guarantees unique urls
 
 import urllib.request
@@ -211,11 +218,12 @@ spark.stop()
 class Level:
     """Driver-side handle on one persistent worker JVM."""
 
-    def __init__(self, cpus: int, n_urls: int, use_bloom: bool):
+    def __init__(self, cpus: int, n_urls: int, use_bloom: bool,
+                 pin_width: int = 32):
         self.cpus = cpus
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", WORKER, str(cpus), str(n_urls),
-             str(int(use_bloom))],
+             str(int(use_bloom)), str(pin_width)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True,
             env={**os.environ, "PYTHONPATH": REPO},
@@ -268,9 +276,12 @@ def main() -> None:
     n4_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_cpus
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     use_bloom = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
+    # 6th arg: pin width. 32 (default) = the historical fixed-width
+    # protocol; 0 = the engine's level-proportional auto default.
+    pin_width = int(sys.argv[6]) if len(sys.argv) > 6 else 32
 
-    lo = Level(n_cpus, n_urls, use_bloom)
-    hi = Level(n4_cpus, n_urls, use_bloom)
+    lo = Level(n_cpus, n_urls, use_bloom, pin_width)
+    hi = Level(n4_cpus, n_urls, use_bloom, pin_width)
     try:
         lo.warm()
         hi.warm()
@@ -337,6 +348,7 @@ def main() -> None:
         "levels": [n_cpus, n4_cpus],
         "reps": reps,
         "use_bloom": use_bloom,
+        "pin_width": pin_width,
         "jit_warmup_walls": {"N": jit_N, "4N": jit_4},
         "throughput_N": round(fetched / med_N, 1),
         "throughput_4N": round(fetched / med_4, 1),

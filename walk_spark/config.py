@@ -96,6 +96,19 @@ class CrawlConfig:
     #: seen set stay deterministic.
     queue_mode: str = "fifo"
     priority_expr: str = ""
+    #: superstep pin / fetch-join shuffle width (partitions for the
+    #: co-partitioned corpus, per-superstep state pins and batch
+    #: repartitions). 0 = auto: ``pin_width_factor`` x the cluster's
+    #: defaultParallelism — LEVEL-PROPORTIONAL, so a 4x bigger cluster gets
+    #: 4x the partitions (2-3 task waves per core = straggler slack; the
+    #: dominant superstep shrank 20-25% at 32 threads / 4M urls in the
+    #: width A/B, BENCH/BASELINE.md tuning note). Set explicitly to pin the
+    #: width across cluster sizes (the scaling protocol's comparability
+    #: mode). Crawl ORDER is width-independent either way — ordering
+    #: depends only on the (depth, discovery_seq, url) sort, verified by
+    #: tests/test_crawl.py's two-width order-equality test.
+    pin_partitions: int = 0
+    pin_width_factor: float = 3.0
     max_redirects: int = 10
     max_supersteps: int = 1000
     #: "corpus" (default): simulated GET via join against the pages table;

@@ -45,13 +45,18 @@ _TWO_PHASE_THRESHOLD = 1_000_000
 def pick_budget_window(queued: DataFrame, budget: int,
                        budget_overrides: DataFrame | None = None,
                        approx_queued: int | None = None,
-                       order: list | None = None) -> DataFrame:
+                       order: list | None = None,
+                       max_override_budget: int = 0) -> DataFrame:
     """Select ≤ budget urls per canonical host, in canonical crawl order.
 
-    ``budget_overrides`` (host, budget) lowers individual hosts' budgets —
-    the backoff path (F12): overrides must be ≤ the default budget (they
-    only ever halve it), so the salted first phase can still prefilter with
-    the default.
+    ``budget_overrides`` (host, budget) replaces individual hosts' budgets
+    — the backoff path (F12, halved budgets) and the robots Crawl-delay
+    path (fetchbot parity: the robots-declared delay wins over the
+    configured one in BOTH directions, lib/worker.go:79-90). An override
+    ABOVE the default budget is honored only if the caller discloses the
+    cap via ``max_override_budget`` (the salted first phase prefilters
+    with max(budget, max_override_budget) so a raised host keeps all its
+    candidate rows).
 
     ``approx_queued`` (an exact tracked count, despite the name guarding
     against stale callers): when provided and under the two-phase threshold,
@@ -83,7 +88,7 @@ def pick_budget_window(queued: DataFrame, budget: int,
         w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
         d = (
             d.withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= F.lit(budget))
+            .filter(F.col("_r1") <= F.lit(max(budget, max_override_budget)))
             .drop("_r1")
         )
     out = (

@@ -128,16 +128,59 @@ class Crawler:
         cfg: CrawlConfig,
         robots: DataFrame | None = None,
         workdir: str | None = None,
+        robots_delays: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
         self.robots = robots
         self.workdir = workdir
+        #: robots-declared Crawl-delay per host (input: host, crawl_delay_ms
+        #: — sources.robots.crawl_delays_from_bodies). fetchbot honors a
+        #: host's robots delay when Polite, not only the configured one
+        #: (lib/worker.go:79-90); here it becomes (a) a standing per-host
+        #: budget override on the BSP politeness pick and (b) the per-host
+        #: sleep interval in http fetch mode. Collected once: only hosts
+        #: DECLARING the directive have rows (broadcast-small by the same
+        #: argument as the rules table).
+        self._robots_delay_ms: dict[str, int] = {}
+        if robots_delays is not None and cfg.polite:
+            self._robots_delay_ms = {
+                r["host"]: int(r["crawl_delay_ms"])
+                for r in robots_delays.select("host", "crawl_delay_ms")
+                .collect()
+                if r["crawl_delay_ms"] and r["crawl_delay_ms"] > 0
+            }
+        #: standing (host, budget) overrides derived from the robots delays
+        #: under the BSP round model: budget = round_ms / robots_delay_ms,
+        #: where round_ms is superstep_seconds*1000 (or the round the
+        #: configured budget models, base_budget * delay_milli). The robots
+        #: delay wins over the configured one in BOTH directions (fetchbot
+        #: parity) — raises are honored via max_override_budget on the pick.
+        self._robots_budgets = None
+        self._robots_budget_max = 0
+        base_budget = cfg.effective_host_budget()
+        if self._robots_delay_ms and base_budget > 0:
+            round_ms = (cfg.superstep_seconds * 1000
+                        if cfg.superstep_seconds > 0
+                        else base_budget * cfg.delay_milli)
+            if round_ms > 0:
+                rows = [(h, max(1, int(round_ms // d)))
+                        for h, d in self._robots_delay_ms.items()]
+                self._robots_budgets = spark.createDataFrame(
+                    rows, "host string, budget int")
+                self._robots_budget_max = max(b for _, b in rows)
         #: one helper thread for overlapping independent Spark actions
         #: within a superstep (Spark actions are thread-safe); created
         #: lazily, shut down by close() / run()'s finally so repeated
         #: Crawler construction doesn't leak driver threads
         self._pool_inst = None
+        # pin / fetch-join width, resolved BEFORE the corpus repartition so
+        # the persisted corpus and every superstep's batch repartition agree
+        # (exact co-partitioning, no corpus-side exchange). Auto (default)
+        # is level-proportional: pin_width_factor x defaultParallelism.
+        w = cfg.pin_partitions or int(
+            cfg.pin_width_factor * spark.sparkContext.defaultParallelism)
+        self._pin_parts = max(w, cfg.seen_partitions, 1)
         if cfg.fetch_mode == "http":
             # S2 real mode: no corpus — fetches go through
             # sources.http_fetch; everything else in the loop is identical
@@ -180,9 +223,6 @@ class Crawler:
         self.next_seq = 0
         self.superstep = 0
         self.total_done = 0
-        self._pin_parts = max(
-            spark.sparkContext.defaultParallelism, cfg.seen_partitions
-        )
         self.frontier: DataFrame | None = None
         # frontier split (the Iceberg-MERGE shape): the ACTIVE (queued)
         # set is the only state rewritten+pinned per superstep; rows that
@@ -219,10 +259,7 @@ class Crawler:
     def _corpus_parts(self) -> int:
         """Partition count for the persisted corpus — matches the pin width
         so joins against it need no corpus-side exchange."""
-        return max(
-            self.spark.sparkContext.defaultParallelism,
-            self.cfg.seen_partitions,
-        )
+        return self._pin_parts
 
     @staticmethod
     def _parse_domain(d: str) -> tuple[str, str]:
@@ -380,8 +417,9 @@ class Crawler:
         48 partitions; three supersteps of frontier merges compounded to
         600-task stages on a 20-row fixture — each task paying fixed
         scheduler + Python-worker overhead). Pinning keeps every state
-        DataFrame at ≤ max(defaultParallelism, seen_partitions) partitions;
-        coalesce is shuffle-free."""
+        DataFrame at ≤ the resolved pin width (CrawlConfig.pin_partitions,
+        auto = pin_width_factor x defaultParallelism); coalesce is
+        shuffle-free."""
         return df.coalesce(self._pin_parts).localCheckpoint(eager=True)
 
     # -- superstep stages ---------------------------------------------------
@@ -398,13 +436,27 @@ class Crawler:
         pr = F.expr(cfg.priority_expr) if cfg.priority_expr else F.lit(0)
         return [pr.desc()] + [F.col(c) for c in ORDER_COLS]
 
+    def _budget_overrides(self) -> DataFrame | None:
+        """Standing robots Crawl-delay budgets ∪ this superstep's backoff
+        halvings, min per host (a robots-paced host that also returned a
+        backoff code gets the stricter of the two). Both tables are tiny
+        (hosts declaring a delay / hosts that misbehaved last round)."""
+        rb, bo = self._robots_budgets, self._backoff_hosts
+        if rb is None:
+            return bo
+        if bo is None:
+            return rb
+        return (rb.unionByName(bo).groupBy("host")
+                .agg(F.min("budget").alias("budget")))
+
     def _pick_batch(self, queued: DataFrame) -> DataFrame:
         order = self._pick_order()
         b = P.pick_budget_window(
             queued, self.cfg.effective_host_budget(),
-            budget_overrides=self._backoff_hosts,
+            budget_overrides=self._budget_overrides(),
             approx_queued=self._queued_count,
             order=order,
+            max_override_budget=self._robots_budget_max,
         )
         return P.cap_batch(b, self.cfg.max_batch_size, order=order)
 
@@ -612,6 +664,7 @@ class Crawler:
             timeout_s=cfg.fetch_timeout_s,
             max_redirects=cfg.max_redirects,
             delay_ms=cfg.http_delay_milli,
+            host_delay_ms=self._robots_delay_ms or None,
         )
         f = self._pin(f)
         self._hop_rows = None
@@ -1418,11 +1471,15 @@ class Crawler:
         cfg: CrawlConfig,
         workdir: str,
         robots: DataFrame | None = None,
+        robots_delays: DataFrame | None = None,
     ) -> "Crawler":
         """Restart mid-crawl from the last completed superstep's snapshot.
         Identical ordering is guaranteed because all state (including the
-        discovery-sequence high-water mark) is in the manifest + parquet."""
-        c = cls(spark, pages, cfg, robots=robots, workdir=workdir)
+        discovery-sequence high-water mark) is in the manifest + parquet.
+        ``robots_delays`` is an input table like ``robots`` — pass the same
+        one as the original run (budget overrides re-derive from it)."""
+        c = cls(spark, pages, cfg, robots=robots, workdir=workdir,
+                robots_delays=robots_delays)
         with open(os.path.join(workdir, "manifest.jsonl")) as f:
             lines = [json.loads(x) for x in f if x.strip()]
         if not lines:
@@ -1464,7 +1521,9 @@ def crawl(
     cfg: CrawlConfig,
     robots: DataFrame | None = None,
     workdir: str | None = None,
+    robots_delays: DataFrame | None = None,
 ) -> CrawlResult:
     """One-call convenience: build a Crawler and run to completion.
     ``pages`` may be None with ``cfg.fetch_mode='http'`` (live fetching)."""
-    return Crawler(spark, pages, cfg, robots=robots, workdir=workdir).run()
+    return Crawler(spark, pages, cfg, robots=robots, workdir=workdir,
+                   robots_delays=robots_delays).run()

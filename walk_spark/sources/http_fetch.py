@@ -108,7 +108,8 @@ def fetch_one(url: str, user_agent: str, timeout_s: float,
 
 def fetch_batch(urls: DataFrame, user_agent: str = "walk_spark/0.1",
                 timeout_s: float = 10.0, max_redirects: int = 10,
-                url_col: str = "url", delay_ms: float = 0.0) -> DataFrame:
+                url_col: str = "url", delay_ms: float = 0.0,
+                host_delay_ms: dict[str, float] | None = None) -> DataFrame:
     """Distributed GET of every url in ``urls`` (one row per input url).
     All other input columns are preserved (the crawl passes frontier
     bookkeeping through).
@@ -119,12 +120,20 @@ def fetch_batch(urls: DataFrame, user_agent: str = "walk_spark/0.1",
     the delay before re-hitting that host. Politeness budgets upstream
     bound the per-superstep count; this bounds the instantaneous rate a
     live server sees. Rows for one host land in few tasks (part_id/host
-    partitioning), so the per-task tracker is the per-host rate limiter."""
+    partitioning), so the per-task tracker is the per-host rate limiter.
+
+    ``host_delay_ms`` maps individual hosts to their OWN delay — the
+    robots-declared Crawl-delay (fetchbot honors it over the configured
+    delay when Polite, lib/worker.go:79-90). A host in the map uses its
+    value even when ``delay_ms`` is 0; the tiny dict rides the serialized
+    closure (hosts that declare the directive only)."""
     passthrough = [c for c in urls.columns]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in urls.schema.fields
     ) + ", " + FETCH_SCHEMA.replace("url string, ", "", 1)
+    overrides = dict(host_delay_ms) if host_delay_ms else {}
+    track = delay_ms > 0 or bool(overrides)
 
     def _go(it):
         import time
@@ -133,16 +142,17 @@ def fetch_batch(urls: DataFrame, user_agent: str = "walk_spark/0.1",
         for pdf in it:
             recs = []
             for u in pdf[url_col]:
-                if delay_ms > 0:
+                if track:
                     host = urlsplit(u).netloc.lower()
+                    d = overrides.get(host, delay_ms)
                     t_prev = last_hit.get(host)
-                    if t_prev is not None:
-                        wait = delay_ms / 1000.0 - (time.monotonic() - t_prev)
+                    if d > 0 and t_prev is not None:
+                        wait = d / 1000.0 - (time.monotonic() - t_prev)
                         if wait > 0:
                             time.sleep(wait)
                 recs.append(fetch_one(u, user_agent, timeout_s,
                                       max_redirects))
-                if delay_ms > 0:
+                if track:
                     last_hit[host] = time.monotonic()
             now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             out = pdf.copy()

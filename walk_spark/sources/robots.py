@@ -45,20 +45,24 @@ def compile_robots_pattern(value: str) -> str | None:
     return "^" + rx + ("$" if anchored else "")
 
 
-def parse_robots_rules(body: str,
-                       user_agent: str = "*") -> list[tuple[str, bool]]:
-    """(path_pattern, is_allow) rules applying to ``user_agent`` (the
-    ``*`` group, or a group whose token is a case-insensitive substring of
-    the crawler's product token — RFC 9309 §2.2.1 direction: a
-    'examplebot-images' group must NOT capture plain 'examplebot'). Both
-    Allow and Disallow lines are extracted — precedence and §2.2.3
-    wildcards are the consumer's job (apply_robots: longest rule wins,
-    Allow wins ties, §2.2.2)."""
-    ua = user_agent.lower().split("/")[0].strip()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+def _scan_groups(body: str):
+    """Group scanner shared by the rule and crawl-delay extractors:
+    [(agents, [(path_pattern, is_allow)], crawl_delay_seconds|None)] —
+    case-insensitive fields, ``#`` comments, groups started by one or more
+    User-agent lines, empty Disallow/Allow values dropped."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
     in_group_body = False
+
+    def _flush():
+        nonlocal cur_agents, cur_rules, cur_delay, in_group_body
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+        in_group_body = False
+
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -68,23 +72,70 @@ def parse_robots_rules(body: str,
         value = value.strip()
         if field == "user-agent":
             if in_group_body:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
-                in_group_body = False
+                _flush()
             cur_agents.append(value.lower())
         elif field in ("disallow", "allow"):
             in_group_body = True
             if value:
                 cur_rules.append((value, field == "allow"))
-        elif field in ("crawl-delay", "sitemap"):
-            in_group_body = True  # group body continues; rules not extracted
-    if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                d = float(value)
+                if d >= 0:
+                    cur_delay = d
+            except ValueError:
+                pass  # malformed delay: ignored, like unknown directives
+        elif field == "sitemap":
+            in_group_body = True  # group body continues; not extracted
+    _flush()
+    return groups
+
+
+def _ua_matches(agents: list[str], user_agent: str) -> bool:
+    """RFC 9309 §2.2.1 direction: a group token must be a substring of the
+    crawler's product token ('examplebot-images' must NOT capture plain
+    'examplebot')."""
+    ua = user_agent.lower().split("/")[0].strip()
+    return any(a == "*" or (a and a in ua) for a in agents)
+
+
+def parse_robots_rules(body: str,
+                       user_agent: str = "*") -> list[tuple[str, bool]]:
+    """(path_pattern, is_allow) rules applying to ``user_agent`` (the
+    ``*`` group, or a group whose token is a case-insensitive substring of
+    the crawler's product token — RFC 9309 §2.2.1 direction: a
+    'examplebot-images' group must NOT capture plain 'examplebot'). Both
+    Allow and Disallow lines are extracted — precedence and §2.2.3
+    wildcards are the consumer's job (apply_robots: longest rule wins,
+    Allow wins ties, §2.2.2)."""
     out: list[tuple[str, bool]] = []
-    for agents, rules in groups:
-        if any(a == "*" or (a and a in ua) for a in agents):
+    for agents, rules, _delay in _scan_groups(body):
+        if _ua_matches(agents, user_agent):
             out.extend(rules)
     return out
+
+
+def parse_robots_crawl_delay(body: str,
+                             user_agent: str = "*") -> float | None:
+    """Crawl-delay (seconds) of the group applying to ``user_agent`` — the
+    robots-declared delay fetchbot honors when Polite (the reference's
+    lib/worker.go:79-90 path: a host's robots delay, not only the
+    configured one, paces its fetches). A group naming the crawler
+    specifically wins over the ``*`` group; among several matching groups
+    of the same specificity the LARGEST delay is taken (conservative).
+    None = no (valid) Crawl-delay for this agent."""
+    specific: list[float] = []
+    wild: list[float] = []
+    for agents, _rules, delay in _scan_groups(body):
+        if delay is None or not _ua_matches(agents, user_agent):
+            continue
+        (wild if all(a == "*" for a in agents) else specific).append(delay)
+    if specific:
+        return max(specific)
+    if wild:
+        return max(wild)
+    return None
 
 
 def parse_robots_txt(body: str, user_agent: str = "*") -> list[str]:
@@ -112,6 +163,27 @@ def rules_from_bodies(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
 
     return bodies.mapInPandas(
         _parse, schema="host string, disallow_prefix string, allow boolean"
+    )
+
+
+def crawl_delays_from_bodies(bodies: DataFrame,
+                             user_agent: str = "*") -> DataFrame:
+    """(host, robots_txt string) -> (host, crawl_delay_ms long): one row
+    per host whose robots.txt declares a Crawl-delay for ``user_agent`` —
+    the input shape of ``Crawler(robots_delays=...)``. Hosts without the
+    directive produce no row (the configured delay applies)."""
+    def _parse(it):
+        for pdf in it:
+            hosts, ms = [], []
+            for h, b in zip(pdf["host"], pdf["robots_txt"]):
+                d = parse_robots_crawl_delay(b or "", user_agent)
+                if d is not None:
+                    hosts.append(h)
+                    ms.append(int(round(d * 1000)))
+            yield pd.DataFrame({"host": hosts, "crawl_delay_ms": ms})
+
+    return bodies.mapInPandas(
+        _parse, schema="host string, crawl_delay_ms long"
     )
 
 
