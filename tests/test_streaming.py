@@ -94,3 +94,42 @@ def test_windowed_fetch_stats_streaming(spark):
     q.awaitTermination(120)
     got = spark.sql("select sum(n_fetches) s from t_win").first()["s"]
     assert got == 4
+
+
+def test_add_seeds_df_large_batch_no_driver_collect(spark):
+    """add_seeds_df (the stream-ingest path): a 100k-url micro-batch
+    enqueues with no driver materialization of the urls — dense
+    deterministic seqs in url sort order, in-batch dupes and already-seen
+    urls anti-joined away, redelivery idempotent."""
+    c = Crawler(
+        spark, self_linking_pages(spark),
+        CrawlConfig(seeds=["http://self.test"], domains=["http://self.test"]),
+    )
+    c.run()
+    seq0 = c.next_seq
+    bulk = spark.range(100_000).select(
+        F.concat(F.lit("http://bulk.test/p/"), F.col("id")).alias("url")
+    )
+    seeds = bulk.unionAll(bulk.limit(7)).unionAll(  # in-batch dupes
+        spark.createDataFrame([("http://self.test",), (None,), ("",)],
+                              "url string")  # already seen + junk
+    )
+    n = c.add_seeds_df(seeds)
+    assert n == 100_000
+    assert c.next_seq == seq0 + 100_000
+    q = c.frontier.filter(F.col("status") == "queued")
+    mm = q.agg(
+        F.count("*").alias("cnt"),
+        F.min("discovery_seq").alias("lo"),
+        F.max("discovery_seq").alias("hi"),
+        F.countDistinct("discovery_seq").alias("uniq"),
+    ).first()
+    assert (mm["cnt"], mm["uniq"]) == (100_000, 100_000)
+    assert (mm["lo"], mm["hi"]) == (seq0, seq0 + 100_000 - 1)
+    # deterministic assignment: seq rank == url sort rank
+    head = [x["url"] for x in
+            q.orderBy("discovery_seq").limit(3).collect()]
+    assert head == sorted(x["url"] for x in
+                          q.orderBy("url").limit(3).collect())
+    assert c.add_seeds_df(seeds) == 0  # full redelivery: all dedup away
+    c.close()

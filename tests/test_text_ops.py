@@ -12,7 +12,9 @@ from walk_spark.operators.sitemap import (
     cdxj_index, render_sitemap_json, sitemap_entries, sorted_index_page,
 )
 from walk_spark.plans.crawl import crawl
-from walk_spark.sources.pages import self_linking_pages, two_page_pages
+from walk_spark.sources.pages import (
+    self_linking_pages, tree_site_pages, two_page_pages,
+)
 
 
 def test_token_counts(spark):
@@ -204,3 +206,42 @@ def test_collection_latest_tie_is_one_whole_row(spark):
     assert (row["title"], row["hash"]) == ("t2", "h2")
     row = Q.collection_latest(w2, w1).first()
     assert (row["title"], row["hash"]) == ("t1", "h1")
+
+
+def test_distributed_sitemap_table_equals_single_file(spark, tmp_path):
+    """write_sitemap_table parts, concatenated in filename order, are
+    byte-identical to render_sitemap_json — the archive-scale finalize
+    (mirrors the CDXJ auto-switch); finalize_sitemap picks the path by
+    entry count (forced both ways here) and the golden fixture round-trips
+    through the distributed writer too."""
+    import datetime as dt
+    from walk_spark.operators.sitemap import (
+        concat_sitemap_table, finalize_sitemap, write_sitemap_table,
+    )
+
+    cfg = CrawlConfig(seeds=["http://qri.test/"], domains=["http://qri.test"])
+    r = crawl(spark, tree_site_pages(spark), cfg)
+    entries = sitemap_entries(r.ok_resources())
+    single = render_sitemap_json(entries)
+    d = str(tmp_path / "sitemap.d")
+    write_sitemap_table(entries, d, partitions=7)
+    assert concat_sitemap_table(d) == single
+
+    # the golden fixture through the distributed writer (escapes, nulls,
+    # link arrays all byte-exact)
+    ts = dt.datetime(1999, 11, 30)
+    res = spark.createDataFrame(
+        [("https://www.a.com", "", ts, 200,
+          ["https://www.a.com/a", "https://www.a.com/b"], 1),
+         ("https://www.a.com/a", "", ts, 200, ["https://www.a.com"], 1)],
+        "url string, title string, warc_ts timestamp, status int, "
+        "links array<string>, superstep int")
+    g = str(tmp_path / "golden.d")
+    write_sitemap_table(sitemap_entries(res), g, partitions=3)
+    assert concat_sitemap_table(g) == GOLDEN_SITEMAP_BYTES
+
+    # finalize_sitemap: forced single file vs forced table agree
+    p1 = finalize_sitemap(entries, str(tmp_path / "s.json"), partitions=0)
+    assert open(p1).read() == single
+    p2 = finalize_sitemap(entries, str(tmp_path / "s2.json"), partitions=5)
+    assert p2.endswith(".d") and concat_sitemap_table(p2) == single

@@ -40,7 +40,7 @@ def cmd_start(args) -> int:
     sitemap.json (the `walk start` flow, cmd/start.go)."""
     from walk_spark.plans.crawl import crawl
     from walk_spark.operators.sitemap import (
-        render_sitemap_json, sitemap_entries,
+        finalize_sitemap, sitemap_entries,
     )
     with open(args.job) as f:
         cfg = CrawlConfig.from_json(f.read())
@@ -56,8 +56,9 @@ def cmd_start(args) -> int:
     r.resources.write.mode("overwrite").parquet(f"{out}/resources")
     r.frontier.write.mode("overwrite").parquet(f"{out}/frontier")
     r.order.write.mode("overwrite").parquet(f"{out}/order")
-    with open(f"{out}/sitemap.json", "w") as f:
-        f.write(render_sitemap_json(sitemap_entries(r.ok_resources())))
+    # auto-switches to the distributed fragment table past 1M entries
+    # (sitemap.json.d, parts concatenating to the same bytes)
+    finalize_sitemap(sitemap_entries(r.ok_resources()), f"{out}/sitemap.json")
     print(json.dumps({"supersteps": len(r.metrics), "metrics": r.metrics}))
     return 0
 

@@ -864,6 +864,59 @@ class Crawler:
             if self._queued_count is not None:
                 self._queued_count += n
 
+    def add_seeds_df(self, seeds: DataFrame, url_col: str = "url") -> int:
+        """Enqueue a DataFrame of seed urls mid-crawl WITHOUT materializing
+        them on the driver — the firehose-scale twin of ``add_seeds``
+        (which takes a Python list; fine for operational batches,
+        driver-bound for a 100k-url stream micro-batch). Returns the
+        number of NEW urls enqueued.
+
+        Semantics match ``add_seeds``: urls are enqueued verbatim (seeds
+        bypass normalization, lib/coordinator.go:174-178), deduped within
+        the batch and against the frontier; ``discovery_seq`` values are
+        assigned deterministically in URL sort order (a DataFrame has no
+        arrival order) via the same two-phase range rank the crawl loop
+        uses — no single-partition window, no collect of the urls (the
+        only driver data is the P-row offset map and the new-url count).
+        Stream redelivery is idempotent: re-delivered urls anti-join away.
+        """
+        self._ensure_state()
+        fresh = (
+            seeds.select(F.col(url_col).cast("string").alias("url"))
+            .filter(F.col("url").isNotNull() & (F.length("url") > 0))
+            .distinct()
+            .join(self.frontier.select("url"), "url", "left_anti")
+        )
+        ranked, n = with_global_seq(
+            fresh, ["url"], start=self.next_seq,
+            num_partitions=self._pin_parts, return_count=True,
+            materialize=False,
+        )
+        if n == 0:
+            return 0
+        rows = (
+            ranked.withColumn("host", canonical_host_col(F.col("url")))
+            .select(
+                F.col("url"),
+                F.col("host"),
+                F.lit(0).cast("int").alias("depth"),
+                F.col("discovery_seq").cast("long"),
+                F.lit(STATUS_QUEUED).alias("status"),
+                F.lit(0).cast("int").alias("attempts"),
+                F.lit(0).cast("int").alias("prev_http_status"),
+                F.lit(self.superstep).cast("int").alias("superstep"),
+                self._part_id_col(F.col("host"), F.col("url"))
+                .cast("int").alias("part_id"),
+                F.lit(self.cfg.job_id).alias("job_id"),
+            )
+        )
+        self.next_seq += n
+        self._queued = self._pin(self._queued.unionByName(rows))
+        self._rebuild_frontier_view()
+        if self._queued_count is not None:
+            self._queued_count += n
+        return n
+
     def forget_urls(self, urls: list[str]) -> int:
         """Retract urls from the crawl state so they can be fetched again
         (forced re-fetch after a config or content change — an extension;

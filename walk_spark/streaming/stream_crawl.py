@@ -30,14 +30,19 @@ def stream_seed_crawler(crawler: Crawler, seeds_stream: DataFrame,
     (column ``url``). Returns the started StreamingQuery.
 
     foreachBatch is the documented Spark pattern for stateful sinks the
-    built-in sinks can't express (our MERGE-style frontier update)."""
+    built-in sinks can't express (our MERGE-style frontier update).
+
+    Seed ingest goes through ``Crawler.add_seeds_df`` — anti-join + union
+    + tracked count, never a collect — so a firehose micro-batch (100k+
+    urls) enqueues without materializing the urls on the driver (the list
+    path, ``add_seeds``, remains for operational use)."""
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        new_seeds = [r["url"] for r in batch_df.select("url").collect()]
-        if not new_seeds:
-            return
-        crawler.add_seeds(new_seeds)
-        crawler.run()
+        n_new = crawler.add_seeds_df(batch_df)
+        if n_new or not batch_df.isEmpty():
+            # run even on a duplicate-only batch (redelivery): the prior
+            # attempt may have enqueued but died before draining
+            crawler.run()
 
     return (
         seeds_stream.writeStream.queryName(query_name)
