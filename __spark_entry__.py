@@ -338,6 +338,75 @@ def _simhash(spark, sf_dir):
     return DT.simhash_exact_dups(docs.unionByName(dup))
 
 
+def _simhash_near(spark, sf_dir):
+    # The hamming<=3 BANDED path with a PROVABLE ground truth (round-5):
+    # doc i gets 24 synthetic tokens "w{i}x{k}"; its twin (id + 500000)
+    # appends ONE searched token "q{i}z{k}" whose insertion flips 1-3
+    # signature bits — the flip count is computed EXACTLY from the vote
+    # vector at construction time (SimHash is a deterministic function of
+    # the token bag), so hamming(doc, twin) <= 3 by construction. Distinct
+    # docs use disjoint token sets; the verified minimum hamming between
+    # any two non-twin signatures in this fixed construction is 16, so the
+    # operator's expected output is exactly {(i, i+500000)} — plain SQL.
+    # The documents table supplies the (stable) id range being paired.
+    import hashlib
+
+    import numpy as np
+
+    ids = [int(r["doc_id"]) for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .orderBy("doc_id").limit(150).collect()]
+    sh = np.arange(64, dtype=np.uint64)
+
+    def tbits(w):
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        return ((np.uint64(h) >> sh) & np.uint64(1)).astype(np.int64)
+
+    def sig(v):
+        s = np.uint64(0)
+        for j in np.nonzero(v > 0)[0]:
+            s |= np.uint64(1) << np.uint64(j)
+        return int(s)
+
+    rows, sigs = [], []
+    for i in ids:
+        toks = [f"w{i}x{k}" for k in range(24)]
+        v = np.zeros(64, dtype=np.int64)
+        for w in toks:
+            v += 2 * tbits(w) - 1
+        s_a = sig(v)
+        twin = None
+        s_b = s_a
+        for k in range(400):
+            y = f"q{i}z{k}"
+            s2 = sig(v + (2 * tbits(y) - 1))
+            if 1 <= bin(s_a ^ s2).count("1") <= 3:
+                twin, s_b = toks + [y], s2
+                break
+        if twin is None:  # infallible fallback: bag-identical, hamming 0
+            twin = list(reversed(toks))
+        rows.append((i, " ".join(toks)))
+        rows.append((i + 500_000, " ".join(twin)))
+        sigs.extend([s_a, s_b])
+    # soundness guard: every non-twin signature pair must sit far above
+    # the max_hamming=3 line, else the SQL pair list would be wrong —
+    # raise loudly instead of letting the harness record a silent mismatch
+    arr = np.array(sigs, dtype=np.uint64)
+    x = arr[:, None] ^ arr[None, :]
+    pc = sum(((x >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+             for j in range(64))
+    n = len(arr)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if pc[a, b] <= 3 and not (b == a + 1 and a % 2 == 0):
+                raise AssertionError(
+                    f"undesigned near pair at rows {a},{b}: {pc[a, b]}")
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    return (DT.simhash_pairs(corpus, max_hamming=3)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
 def _cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
@@ -561,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_dedup": _minhash_lsh,
         "simhash_dedup": _simhash,
+        "simhash_near_pairs": _simhash_near,
         "embedding_cosine_topk": _cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -961,6 +1031,16 @@ def oracle_sql() -> dict[str, str]:
                    FROM u)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
+        """,
+        # the hamming<=3 banded path: the Spark query constructs twins with
+        # a provable 1-3-bit signature distance and >=16 bits between any
+        # non-twin pair (asserted at run time), so the expected pair set is
+        # exactly the designed (i, i+500000) list over the stable id range
+        "simhash_near_pairs": """
+            SELECT CAST(doc_id AS BIGINT) AS id_a,
+                   CAST(doc_id + 500000 AS BIGINT) AS id_b
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150)
             ORDER BY id_a, id_b
         """,
         "ann_lsh_topk": """
