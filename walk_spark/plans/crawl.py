@@ -177,9 +177,20 @@ class Crawler:
         # pin / fetch-join width, resolved BEFORE the corpus repartition so
         # the persisted corpus and every superstep's batch repartition agree
         # (exact co-partitioning, no corpus-side exchange). Auto (default)
-        # is level-proportional: pin_width_factor x defaultParallelism.
-        w = cfg.pin_partitions or int(
-            cfg.pin_width_factor * spark.sparkContext.defaultParallelism)
+        # is data-aware: enough partitions for ≤ pin_rows_per_partition
+        # corpus rows each, clamped to [cores, pin_width_factor x cores] —
+        # see CrawlConfig.pin_partitions for the measured crossover.
+        cores = spark.sparkContext.defaultParallelism
+        if cfg.pin_partitions > 0:
+            w = cfg.pin_partitions
+        elif pages is not None and cfg.fetch_mode != "http":
+            n_rows = pages.count()  # metadata-cheap on parquet/range inputs
+            w = min(
+                max(cores, -(-n_rows // max(cfg.pin_rows_per_partition, 1))),
+                int(cfg.pin_width_factor * cores),
+            )
+        else:
+            w = cores
         self._pin_parts = max(w, cfg.seen_partitions, 1)
         if cfg.fetch_mode == "http":
             # S2 real mode: no corpus — fetches go through
