@@ -184,19 +184,34 @@ def ivf_topk(embeddings: DataFrame | None, query_vec: list[float],
                                vec_col)
         assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     probes = probe_clusters(centroids, query_vec, nprobe)
-    # Force-include the query's own JVM-assigned cluster: the numpy probe
-    # ranking (pairwise dot) and the JVM assignment (sequential aggregate
-    # fold, possibly float32 element ops) can disagree on near-tie centroid
-    # cosines — without this, an identical stored copy of the query could
-    # sit in a cluster outside the probe list. Evaluated with the SAME
-    # _cluster_col expression over a literal cast to the corpus element
-    # type, so it is bit-identical to how a stored copy was assigned; one
-    # driver-local 1-row job, no corpus scan.
-    vec_lit = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
-        assigned.schema["embedding"].dataType)
-    own = assigned.sparkSession.range(1).select(
-        _cluster_col(vec_lit, centroids).alias("c")).first()["c"]
-    if own not in probes:
-        probes = [own] + probes[:max(nprobe - 1, 0)]
+    # The query's own JVM-assigned cluster must be probed: the numpy probe
+    # ranking (pairwise float64 dot) and the JVM assignment (sequential
+    # aggregate fold, possibly float32 element ops) can disagree on
+    # near-tie centroid cosines — an identical stored copy of the query
+    # could then sit outside the probe list. The two computations differ by
+    # at most ~1e-5 per cosine (64-element float32 dot: per-product error
+    # ≤ 2^-24, summation ≤ 64x that; norms likewise), so when numpy's
+    # best-probed cosine clears every NON-probed cosine by a 1e-3 margin,
+    # the JVM argmax provably lies inside the probe list and no extra work
+    # is needed (the common case). Only on a near-tie do we evaluate the
+    # SAME _cluster_col expression over a literal cast to the corpus
+    # element type — bit-identical to how a stored copy was assigned — as
+    # a 1-row driver-local job (~1 s of expression codegen with k x dim
+    # literals, which is why it is margin-gated rather than unconditional).
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cos = (C @ q) / (np.maximum(np.sqrt((C * C).sum(axis=1)), _EPS)
+                     * (np.sqrt((q * q).sum()) or 1.0))
+    non_probed = [c for c in range(len(centroids)) if c not in probes]
+    near_tie = bool(non_probed) and (
+        float(cos[probes].max()) - float(cos[non_probed].max()) < 1e-3
+    )
+    if near_tie:
+        vec_lit = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+            assigned.schema["embedding"].dataType)
+        own = assigned.sparkSession.range(1).select(
+            _cluster_col(vec_lit, centroids).alias("c")).first()["c"]
+        if own not in probes:
+            probes = [own] + probes[:max(nprobe - 1, 0)]
     cand = assigned.filter(F.col("cluster").isin(probes))
     return cosine_topk(cand, query_vec, k, "vec_id", "embedding")
