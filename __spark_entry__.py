@@ -264,8 +264,18 @@ def _dedup_exact(spark, sf_dir):
     # (same injection in the SQL oracle) so the operator's grouping is
     # actually exercised — every group must come back with n_docs=2
     docs = _t(spark, sf_dir, "documents")
-    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
-    d = DT.exact_duplicates(docs.unionByName(dup))
+    # fingerprint each document ONCE, then explode the (id, id+1e6) pair —
+    # the old per-copy unionByName re-scanned and re-hashed every text
+    base = docs.select(
+        "doc_id", T.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    both = base.select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + 1_000_000)
+        ).alias("doc_id"),
+        "fp",
+    )
+    d = DT.exact_duplicates(both, fp_col="fp")
     return d.select(
         "fp", F.col("n_docs").cast("long").alias("n_docs"), "keep_id"
     ).orderBy("fp")
@@ -419,14 +429,17 @@ def _ann_lsh_topk(spark, sf_dir):
     # top-10 equals the exact brute-force top-10 (ten cosine-1.0 rows, ties
     # broken by vec_id) — the DuckDB oracle.
     emb = _t(spark, sf_dir, "embeddings")
+    # the 9 injected copies come from ONE scan of the vec-0 row via an
+    # exploded id-offset array (the old per-copy unionByName re-scanned the
+    # parquet 10 times); the row multiset is identical
     q = emb.filter(F.col("vec_id") == 0)
-    copies = [
-        q.withColumn("vec_id", F.col("vec_id") + k * 1_000_000)
-        for k in range(1, 10)
-    ]
-    u = emb
-    for c in copies:
-        u = u.unionByName(c)
+    copies = q.select(
+        F.explode(F.array(*[
+            (F.col("vec_id") + F.lit(k * 1_000_000)) for k in range(1, 10)
+        ])).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    ).select(*emb.columns)
+    u = emb.unionByName(copies)
     qv = _query_vec(spark, sf_dir)
     return SIM.ann_topk_lsh(u, qv, k=10, bits=8, n_probe_flips=4)
 
@@ -441,14 +454,15 @@ def _ann_ivf_topk(spark, sf_dir):
     # order; the result set provably does not.
     from walk_spark.operators import ivf as IVF
     emb = _t(spark, sf_dir, "embeddings")
+    # single-scan injected copies, same shape as _ann_lsh_topk
     q = emb.filter(F.col("vec_id") == 0)
-    copies = [
-        q.withColumn("vec_id", F.col("vec_id") + k * 1_000_000)
-        for k in range(1, 10)
-    ]
-    u = emb
-    for c in copies:
-        u = u.unionByName(c)
+    copies = q.select(
+        F.explode(F.array(*[
+            (F.col("vec_id") + F.lit(k * 1_000_000)) for k in range(1, 10)
+        ])).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    ).select(*emb.columns)
+    u = emb.unionByName(copies)
     qv = _query_vec(spark, sf_dir)
     return IVF.ivf_topk(u, qv, k=10, n_clusters=8, nprobe=3, iters=2)
 

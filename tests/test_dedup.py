@@ -108,6 +108,41 @@ def test_simhash_blocking_is_complete(spark):
     assert {(r["id_a"], r["id_b"]) for r in got.collect()} == expect
 
 
+def test_simhash_block_keys_complete(spark):
+    """Property check on the 2-block combination scheme: any pair of 64-bit
+    values at hamming distance exactly d shares at least one (band, key) —
+    the exact-recall guarantee simhash_pairs relies on, for every d the
+    scheme generates (d+2 blocks, C(d+2,2) tables; d=0 is the single
+    full-width table)."""
+    import random
+
+    from walk_spark.operators.dedup_text import _simhash_block_keys
+
+    rng = random.Random(7)
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for d in (0, 1, 2, 3, 6):
+        rows = []
+        for _ in range(25):
+            a = rng.getrandbits(64)
+            b = a
+            for bit in rng.sample(range(64), d):
+                b ^= 1 << bit
+            rows.append((to_i64(a), to_i64(b)))
+        df = spark.createDataFrame(rows, "a long, b long")
+        ka = F.array(*_simhash_block_keys(F.col("a"), d))
+        kb = F.array(*_simhash_block_keys(F.col("b"), d))
+        shared = df.select(
+            F.size(
+                F.filter(F.zip_with(ka, kb, lambda x, y: x == y),
+                         lambda m: m)
+            ).alias("s")
+        ).collect()
+        assert all(r["s"] >= 1 for r in shared), d
+
+
 def test_minhash_dropped_bucket_report(spark):
     """No silent caps: oversized buckets are counted in the report."""
     from walk_spark.operators.dedup_text import minhash_lsh_pairs
@@ -134,8 +169,9 @@ def test_simhash_dropped_bucket_report(spark):
     pairs = simhash_pairs(docs, max_hamming=3, max_bucket_size=10,
                           report=report)
     assert pairs.count() == 0
-    assert report["dropped_buckets"] == 4  # all 4 bands over the cap
-    assert report["dropped_rows"] == 160
+    # max_hamming=3 blocks into C(5,2)=10 band tables, all over the cap
+    assert report["dropped_buckets"] == 10
+    assert report["dropped_rows"] == 400
 
 
 def test_exact_wrappers_raise_instead_of_silent_drop(spark):
@@ -157,7 +193,8 @@ def test_exact_wrappers_raise_instead_of_silent_drop(spark):
     rep: dict = {}
     assert simhash_exact_dups(docs, max_bucket_size=10,
                               report=rep).count() == 0
-    assert rep["dropped_buckets"] == 4
+    # hamming-0 blocking uses ONE full-64-bit band table
+    assert rep["dropped_buckets"] == 1
     # and a cap that fits loses nothing: all 40 are mutual duplicates
     n = simhash_exact_dups(docs, max_bucket_size=100).count()
     assert n == 40 * 39 // 2

@@ -236,8 +236,11 @@ def test_fetch_batch_robots_host_delay_override(spark):
         urls = spark.createDataFrame(
             [(f"{base}/q{i}.html",) for i in range(3)], ["url"]
         ).coalesce(1)
+        # the map is keyed on the CANONICAL host (port-less — what the
+        # Crawler's robots table passes) while the urls carry ':port':
+        # the fetch-time lookup must canonicalize or the delay is skipped
         out = fetch_batch(urls, delay_ms=0,
-                          host_delay_ms={host: 300}).collect()
+                          host_delay_ms={"127.0.0.1": 300}).collect()
         assert all(r["status"] == 200 for r in out)
         ts = sorted(t for _, t in _TimedHandler.times)
         gaps = [b - a for a, b in zip(ts, ts[1:])]

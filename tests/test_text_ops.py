@@ -245,3 +245,18 @@ def test_distributed_sitemap_table_equals_single_file(spark, tmp_path):
     assert open(p1).read() == single
     p2 = finalize_sitemap(entries, str(tmp_path / "s2.json"), partitions=5)
     assert p2.endswith(".d") and concat_sitemap_table(p2) == single
+
+    # re-finalizing the SAME out_path in the other form removes the stale
+    # sibling artifact (a consumer must never read a leftover), and
+    # read_sitemap_json falls back to the .d table when only it exists
+    import os
+    from walk_spark.operators.sitemap import read_sitemap_json
+    base = str(tmp_path / "swap.json")
+    finalize_sitemap(entries, base, partitions=0)
+    finalize_sitemap(entries, base, partitions=5)
+    assert os.path.isdir(base + ".d") and not os.path.exists(base)
+    got = {r["key"] for r in read_sitemap_json(spark, base).collect()}
+    want = {r["key"] for r in entries.collect()}
+    assert got == want
+    finalize_sitemap(entries, base, partitions=0)
+    assert os.path.isfile(base) and not os.path.exists(base + ".d")

@@ -22,19 +22,34 @@ with a per-bucket limit before pairing — exposed as ``max_bucket_size``.
 from __future__ import annotations
 
 import hashlib
+from itertools import combinations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from walk_spark.functions.text import fingerprint_md5, shingles, words
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the input has fewer partitions — a single small parquet file otherwise
+    pins the whole signature UDF pass to ONE task/core (guide §2/§4: the
+    scan task count, not the data volume, bounds Python-boundary
+    parallelism). No-op (no shuffle) for inputs that already have enough
+    partitions, so cluster-scale tables are untouched."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 # -- exact ------------------------------------------------------------------
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
-                     max_group_ids: int = 10_000) -> DataFrame:
+                     max_group_ids: int = 10_000,
+                     fp_col: str | None = None) -> DataFrame:
     """Duplicate groups by normalized-text fingerprint: one row per group
     with >1 member: (fp, n_docs, keep_id=min id, doc_ids sorted — capped,
     n_overflow = members beyond the cap).
@@ -46,12 +61,17 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     boilerplate/empty-page fingerprint with 10^8 members would otherwise
     build one multi-GB array cell in a single task. The window and the
     groupBy share the hash-partitioning on fp: one shuffle total.
+
+    ``fp_col`` names an already-computed fingerprint column, letting a
+    caller that derives several rows from one document (e.g. an injected
+    duplicate) pay the tokenize+md5 pass once instead of per derived row.
     """
     from pyspark.sql import Window
     w = Window.partitionBy("fp").orderBy("doc_id")
+    fp = (F.col(fp_col) if fp_col is not None
+          else fingerprint_md5(F.col(text_col)))
     ranked = docs.select(
-        F.col(id_col).alias("doc_id"),
-        fingerprint_md5(F.col(text_col)).alias("fp"),
+        F.col(id_col).alias("doc_id"), fp.alias("fp"),
     ).withColumn("_rn", F.row_number().over(w))
     return (
         ranked.groupBy("fp")
@@ -88,6 +108,9 @@ def jaccard_word_pairs(docs: DataFrame, threshold: float = 0.5,
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("tok"),
     )
+    # three consumers (both join legs + sizes) would each re-tokenize the
+    # corpus — pin the exploded token table once
+    toks = toks.localCheckpoint(eager=False)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -129,6 +152,8 @@ def jaccard_shingle_pairs(docs: DataFrame, threshold: float = 0.5,
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("tok"),
     )
+    # same three-consumer shape as jaccard_word_pairs: pin once
+    toks = toks.localCheckpoint(eager=False)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -184,7 +209,13 @@ def minhash_signatures(docs: DataFrame, k: int = 128, shingle_n: int = 3,
     def _sig(texts: pd.Series) -> pd.Series:
         # per-token digests memoized across the batch (web-text vocab repeats
         # heavily); shingle hashes = vectorized polynomial combination of
-        # consecutive token hashes — no per-shingle string building/hashing
+        # consecutive token hashes — no per-shingle string building/hashing.
+        # The k×shingles universal-hash min-reduction (the dominant cost) is
+        # batched across documents: per-doc shingle sets are concatenated and
+        # one (k, chunk) multiply-add-mod feeds np.minimum.reduceat, with the
+        # chunk bounded so the temporary stays ~30 MB per task. Elementwise
+        # ops and reduction segments are identical to the per-doc loop, so
+        # signatures are bit-identical.
         tok_cache: dict[str, int] = {}
         A = np.uint64(0x9E3779B97F4A7C15)
 
@@ -198,11 +229,14 @@ def minhash_signatures(docs: DataFrame, k: int = 128, shingle_n: int = 3,
                 tok_cache[w] = h
             return h
 
-        out = []
-        for t in texts:
+        n = len(texts)
+        out = [None] * n
+        hv_parts: list[np.ndarray] = []
+        hv_docs: list[int] = []
+        for i, t in enumerate(texts):
             toks = [w for w in (t or "").lower().split() if w]
             if not toks:
-                out.append(np.zeros(k, dtype=np.int64))
+                out[i] = np.zeros(k, dtype=np.int64)
                 continue
             th = np.fromiter(
                 (tok_hash(w) for w in toks), dtype=np.uint64, count=len(toks)
@@ -211,13 +245,38 @@ def minhash_signatures(docs: DataFrame, k: int = 128, shingle_n: int = 3,
             hv = np.zeros(n_sh, dtype=np.uint64)
             for j in range(min(shingle_n, len(th))):
                 hv = hv * A + th[j:j + n_sh]
-            hv = np.unique(hv)  # shingles are a SET (dedup before min)
-            m = (hv[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-            out.append(m.min(axis=1).astype(np.int64))
+            hv_parts.append(np.unique(hv))  # shingles are a SET
+            hv_docs.append(i)
+
+        chunk_budget = 32768  # shingles per (k, chunk) temp: k*32768*8 ≈ 32 MB
+        pos = 0
+        while pos < len(hv_parts):
+            end = pos
+            tot = 0
+            while end < len(hv_parts) and (
+                end == pos or tot + len(hv_parts[end]) <= chunk_budget
+            ):
+                tot += len(hv_parts[end])
+                end += 1
+            seg = np.concatenate(hv_parts[pos:end])
+            lens = np.fromiter(
+                (len(p) for p in hv_parts[pos:end]), dtype=np.int64,
+                count=end - pos,
+            )
+            starts = np.zeros(end - pos, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            m = np.multiply(seg[None, :], a[:, None])
+            m += b[:, None]
+            m %= np.uint64(_MERSENNE)
+            mins = np.minimum.reduceat(m, starts, axis=1)  # (k, docs)
+            sigs = mins.T.astype(np.int64)
+            for j in range(end - pos):
+                out[hv_docs[pos + j]] = sigs[j]
+            pos = end
         return pd.Series(out)
 
     sig_udf = F.pandas_udf(_sig, returnType=ArrayType(LongType()))
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig")
     )
 
@@ -243,46 +302,65 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 128,
     rows = k // bands
     sigs = minhash_signatures(docs, k=k, shingle_n=shingle_n,
                               id_col=id_col, text_col=text_col, seed=seed)
-    if report is not None:
-        sigs = sigs.localCheckpoint(eager=False)
+    # the signature pass is the expensive Python stage and is now consumed
+    # twice (band keys + the estimate attach below): pin it so the UDF runs
+    # exactly once regardless of plan shape
+    sigs = sigs.localCheckpoint(eager=False)
+    # band keys only — the k-long signature array (~1 KB/row) stays OUT of
+    # the banded explode and the (band, bucket) self-join shuffles (guide
+    # §2.3 "project before the exchange"); signatures are re-attached to the
+    # few surviving candidate pairs instead of riding every bucket row
+    # band bucket = xxhash64 over the band's signature rows DIRECTLY (a
+    # fixed unrolled arg list per band): the old expression built a
+    # comma-joined string per band per row through interpreted
+    # slice/transform higher-order functions — ~bands× string allocations
+    # per doc, re-evaluated by every consumer branch. Equal band slices
+    # hash equal under either scheme, so the candidate semantics are
+    # unchanged (collisions stay ~2⁻⁶⁴ and are est-filtered anyway).
+    band_keys = [
+        F.xxhash64(*[F.col("sig")[i * rows + j] for j in range(rows)])
+        for i in range(bands)
+    ]
     banded = sigs.select(
-        "doc_id", "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), i * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
     )
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    # ONE exchange builds the buckets: window count + conditional
+    # collect_list (buffer bounded at max_bucket_size — same pattern as
+    # exact_duplicates) share the (band, bucket) hash partitioning, and the
+    # within-bucket pairs are exploded IN-STAGE. The old shape paid a
+    # bucket-size aggregate exchange, a cap join (sort-merge over
+    # mostly-singleton buckets — measured 2.9 s of the 5.8 s at sf1.0) and
+    # a self-join; all three are gone (guide §2.4 remove shuffles).
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    grouped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .groupBy("band", "bucket")
+        .agg(
+            F.count("*").alias("bsz"),
+            F.collect_list(
+                F.when(F.col("_rn") <= max_bucket_size, F.col("doc_id"))
+            ).alias("ids"),
+        )
+    )
     if report is not None:
-        drop = sizes.filter(F.col("bsz") > max_bucket_size).agg(
+        grouped = grouped.localCheckpoint(eager=False)
+        drop = grouped.filter(F.col("bsz") > max_bucket_size).agg(
             F.count("*").alias("nb"),
             F.coalesce(F.sum("bsz"), F.lit(0)).alias("nr"),
         ).first()
         report["dropped_buckets"] = int(drop["nb"])
         report["dropped_rows"] = int(drop["nr"])
-    banded = banded.join(
-        sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
-    )
-    l = banded.select("band", "bucket", F.col("doc_id").alias("id_a"),
-                      F.col("sig").alias("sig_a"))
-    r = banded.select("band", "bucket", F.col("doc_id").alias("id_b"),
-                      F.col("sig").alias("sig_b"))
     cand = (
-        l.join(r, ["band", "bucket"])
+        grouped.filter(F.col("bsz") <= max_bucket_size)
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.round(
         F.size(
             F.filter(
@@ -294,7 +372,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 128,
         4,
     )
     return (
-        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -368,6 +447,12 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, simhash long): 64-bit SimHash over word tokens (numpy)."""
 
     def _sim(texts: pd.Series) -> pd.Series:
+        # batched: token hashes for the whole batch are concatenated, the
+        # 64-bit vote matrix is built once per chunk (int8 bit matrix,
+        # chunked to bound the temporary), and per-doc votes come from
+        # np.add.reduceat. sign(votes) is decided on integers (2*ones >
+        # n_tokens ⟺ sum(±1) > 0), so signatures are bit-identical to the
+        # per-document loop.
         tok_cache: dict[str, int] = {}
 
         def tok_hash(w: str) -> int:
@@ -380,77 +465,144 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                 tok_cache[w] = h
             return h
 
-        out = np.zeros(len(texts), dtype=np.int64)
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        parts: list[np.ndarray] = []
+        part_docs: list[int] = []
         for i, t in enumerate(texts):
             toks = [w for w in (t or "").lower().split() if w]
             if not toks:
                 continue
-            hv = np.fromiter(
+            parts.append(np.fromiter(
                 (tok_hash(w) for w in toks), dtype=np.uint64, count=len(toks)
+            ))
+            part_docs.append(i)
+
+        sh = np.arange(64, dtype=np.uint64)[None, :]
+        pows = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        chunk_budget = 1 << 19  # tokens per chunk: 512k×64 int8 ≈ 32 MB
+        pos = 0
+        while pos < len(parts):
+            end = pos
+            tot = 0
+            while end < len(parts) and (
+                end == pos or tot + len(parts[end]) <= chunk_budget
+            ):
+                tot += len(parts[end])
+                end += 1
+            seg = np.concatenate(parts[pos:end])
+            lens = np.fromiter(
+                (len(p) for p in parts[pos:end]), dtype=np.int64,
+                count=end - pos,
             )
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for bpos in np.nonzero(v > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sh.astype(np.int64))
+            starts = np.zeros(end - pos, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            bits = ((seg[:, None] >> sh) & np.uint64(1)).astype(np.int8)
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+            signs = (2 * ones) > lens[:, None]  # ⟺ (2*bits-1).sum > 0
+            packed = (signs.astype(np.uint64) * pows[None, :]).sum(axis=1)
+            out[np.asarray(part_docs[pos:end])] = packed.view(np.int64)
+            pos = end
         return pd.Series(out)
 
     udf = F.pandas_udf(_sim, returnType=LongType())
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("simhash")
     )
+
+
+def _simhash_block_keys(col: Column, max_hamming: int) -> list[Column]:
+    """Exact pigeonhole blocking keys for hamming ≤ d over a 64-bit hash.
+
+    d = 0: one key — the signature itself (identical hashes required).
+    d ≥ 1: split the 64 bits into B = d+2 blocks; a pair within distance d
+    corrupts at most d blocks, leaving ≥ 2 intact, so keying every 2-block
+    combination (C(B,2) tables) finds every true pair. Compared to the
+    single-block scheme (d+1 tables of 64/(d+1) bits), 2-block keys are
+    twice as wide — at d=3 that is 10 tables of ~26-bit keys instead of 4
+    tables of 16-bit keys, shrinking random band collisions (the quadratic
+    bucket cost) by ~2^10 while recall stays exact (guide §2.5: the
+    candidate join is the skew/volume driver, so make buckets selective)."""
+    if max_hamming <= 0:
+        return [col]
+    nblocks = max_hamming + 2
+    base, rem = divmod(64, nblocks)
+    widths = [base + 1 if i < rem else base for i in range(nblocks)]
+    offs = [sum(widths[:i]) for i in range(nblocks)]
+    blocks = [
+        F.shiftrightunsigned(col, offs[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(nblocks)
+    ]
+    return [
+        F.shiftleft(blocks[i], widths[j]).bitwiseOR(blocks[j])
+        for i, j in combinations(range(nblocks), 2)
+    ]
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_bucket_size: int = 5000,
                   report: dict | None = None) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole blocking:
-    split 64 bits into 4 16-bit bands — any pair within distance 3 shares at
-    least one exact band (4 > 3). Join per band, verify with bit_count.
+    """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole blocking
+    (``_simhash_block_keys``: 2-block combination keys — complete for any
+    ``max_hamming``, with ~2×-wider band keys than the classic 1-block
+    split so random bucket collisions stay tiny). Join per band, verify
+    with bit_count BEFORE the pair-dedup exchange, so only true near-pairs
+    are ever shuffled (hamming is a pure function of the two signatures, so
+    filter-then-dedup ≡ dedup-then-filter).
 
     Band buckets larger than ``max_bucket_size`` (a boilerplate band value
     shared by millions of pages goes quadratic) are dropped; pass
     ``report={}`` to receive ``dropped_buckets``/``dropped_rows``."""
     sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
-    if report is not None:
-        sigs = sigs.localCheckpoint(eager=False)
+    # three consumers below (bucket sizes, both self-join legs) would each
+    # re-run the signature UDF — 16 bytes/row, pin it once
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id", "simhash",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), s)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    for s in (0, 16, 32, 48)
-                ]
-            )
+            F.array(*_simhash_block_keys(F.col("simhash"), max_hamming))
         ).alias("band", "key"),
     )
-    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("bsz"))
+    # ONE exchange builds the buckets (window count + bounded collect_list
+    # sharing the (band, key) partitioning — see minhash_lsh_pairs), pairs
+    # explode in-stage, and the bit_count verify runs BEFORE the pair-dedup
+    # exchange, so only true near-pairs are ever shuffled.
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    grouped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .groupBy("band", "key")
+        .agg(
+            F.count("*").alias("bsz"),
+            F.collect_list(
+                F.when(F.col("_rn") <= max_bucket_size,
+                       F.struct("doc_id", "simhash"))
+            ).alias("members"),
+        )
+    )
     if report is not None:
-        drop = sizes.filter(F.col("bsz") > max_bucket_size).agg(
+        grouped = grouped.localCheckpoint(eager=False)
+        drop = grouped.filter(F.col("bsz") > max_bucket_size).agg(
             F.count("*").alias("nb"),
             F.coalesce(F.sum("bsz"), F.lit(0)).alias("nr"),
         ).first()
         report["dropped_buckets"] = int(drop["nb"])
         report["dropped_rows"] = int(drop["nr"])
-    banded = banded.join(
-        sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "key"]
-    )
-    l = banded.select("band", "key", F.col("doc_id").alias("id_a"),
-                      F.col("simhash").alias("h_a"))
-    r = banded.select("band", "key", F.col("doc_id").alias("id_b"),
-                      F.col("simhash").alias("h_b"))
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        l.join(r, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", ham.alias("hamming"))
+        grouped.filter(F.col("bsz") <= max_bucket_size)
+        .select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 

@@ -23,7 +23,23 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to default parallelism when the input has
+    fewer partitions: a single small parquet file otherwise pins the
+    signature UDF pass to one task/core (guide §2/§4). No-op for inputs
+    that already have enough partitions."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _dot_with_lit(vec_col, qvec: list[float]):
+    # NOTE(r6): an unrolled GetArrayItem sum was A/B'd against this fold
+    # and lost ~3× on every cosine path (brute 0.92 vs 0.30 s, served LSH
+    # 1.32 vs 0.70 s, served IVF 0.85 vs 0.27 s warm at sf1.0) — the
+    # ~260-node expression tree costs more in planning/eval than the
+    # aggregate saves. Measured, reverted (guide §1.1).
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return F.aggregate(
         F.zip_with(vec_col, q, lambda a, b: a * b),
@@ -76,7 +92,7 @@ def rp_lsh_buckets(embeddings: DataFrame, dim: int, bits: int = 12,
         return pd.Series((signs.astype(np.uint64) @ pows).astype(np.int64))
 
     udf = F.pandas_udf(_bucket, returnType=LongType())
-    return embeddings.select(
+    return _spread(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         udf(F.col(vec_col)).alias("bucket"),
@@ -127,7 +143,12 @@ def write_lsh_index(embeddings: DataFrame, path: str, dim: int,
     the signature UDF to zero."""
     import json as _json
     bucketed = rp_lsh_buckets(embeddings, dim, bits, id_col, vec_col, seed)
-    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # cluster by the partition column before the write: one file per bucket
+    # directory instead of (tasks × buckets) small files (guide §6 small
+    # files; keeps the probed-bucket read path to a handful of file opens)
+    bucketed.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
     _write_sidecar(
         embeddings.sparkSession, path.rstrip("/") + "/_lsh_meta.json",
         _json.dumps({"dim": dim, "bits": bits, "seed": seed}).encode(),
@@ -222,7 +243,7 @@ def rp_lsh_banded(embeddings: DataFrame, dim: int, bits: int = 4,
         return pd.Series(list(per_band.astype(np.int64)))
 
     udf = F.pandas_udf(_buckets, returnType=ArrayType(LongType()))
-    return embeddings.select(
+    return _spread(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         F.posexplode(udf(F.col(vec_col))).alias("band", "bucket"),
@@ -243,33 +264,80 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     ~2·10⁻⁴; identical vectors collide with probability 1. Buckets larger
     than ``max_bucket_size`` are dropped (pass ``report={}`` for
     ``dropped_buckets``/``dropped_rows`` — the no-silent-caps contract)."""
+    from pyspark.sql import Window
+
     b = rp_lsh_banded(embeddings, dim, bits, bands, id_col, vec_col, seed)
+    # the size gate and the GEMM stage both consume the banded table — pin
+    # it so the projection UDF runs once
+    b = b.localCheckpoint(eager=False)
+    # bucket-size gate via a window COUNT sharing the (band, bucket) hash
+    # partitioning of the GEMM groupBy below — one exchange total instead
+    # of a size aggregate + cap join (guide §2.4); oversized buckets are
+    # still dropped BEFORE any bucket is collected into a pandas group, so
+    # worker memory stays bounded by max_bucket_size at any scale
+    wsz = Window.partitionBy("band", "bucket")
+    b = b.withColumn("bsz", F.count("*").over(wsz))
     if report is not None:
-        b = b.localCheckpoint(eager=False)
-    sizes = b.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-    if report is not None:
-        drop = sizes.filter(F.col("bsz") > max_bucket_size).agg(
-            F.count("*").alias("nb"),
-            F.coalesce(F.sum("bsz"), F.lit(0)).alias("nr"),
-        ).first()
+        drop = (
+            b.filter(F.col("bsz") > max_bucket_size)
+            .groupBy("band", "bucket")
+            .agg(F.first("bsz").alias("bsz"))
+            .agg(
+                F.count("*").alias("nb"),
+                F.coalesce(F.sum("bsz"), F.lit(0)).alias("nr"),
+            ).first()
+        )
         report["dropped_buckets"] = int(drop["nb"])
         report["dropped_rows"] = int(drop["nr"])
-    b = b.join(
-        sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
+    b = b.filter(F.col("bsz") <= max_bucket_size)
+    # Candidate generation is a per-bucket numpy GEMM (guide §4.2: hand the
+    # whole bucket to BLAS instead of evaluating ~m²/2 per-pair JVM
+    # expressions): normalize the bucket matrix once, one (m, m) matmul,
+    # emit only the index pairs above ``threshold - margin``. The margin
+    # (2e-4) strictly covers both the float64-GEMM vs JVM-float32-fold
+    # summation divergence (<1e-5) and the half-ulp of the final
+    # round(·, 4), so no pair the exact verify would accept can be lost.
+    # The old plan shipped every candidate pair — with BOTH embedding
+    # payloads — through the dropDuplicates exchange and evaluated an
+    # interpreted higher-order cosine per pair.
+    margin = 2e-4
+    tpre = threshold - margin
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack([
+            np.asarray(v, dtype=np.float64) for v in pdf["embedding"]
+        ])
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0  # zero vectors: cos 0 here, NaN in the verify —
+        # dropped by both paths, so parity holds
+        Mn = M / nrm[:, None]
+        C = Mn @ Mn.T
+        ia, ib = np.nonzero(np.triu(C >= tpre, k=1))
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = (
+        b.select("band", "bucket", "vec_id", "embedding")
+        .groupBy("band", "bucket")
+        .applyInPandas(_bucket_pairs, "id_a long, id_b long")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    l = b.select("band", "bucket", F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("v_a"))
-    r = b.select("band", "bucket", F.col("vec_id").alias("id_b"),
-                 F.col("embedding").alias("v_b"))
+    # exact verify on the surviving pairs only, with the SAME fold
+    # expressions as the brute-force path — the output values are
+    # bit-identical to computing cosine on every candidate
+    va = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("v_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("v_b"))
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda a, bb: a * bb),
         F.lit(0.0), lambda acc, x: acc + x,
     )
     cos = dot / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
     return (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

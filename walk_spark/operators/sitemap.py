@@ -163,12 +163,21 @@ def finalize_sitemap(entries: DataFrame, out_path: str,
     fragment table at ``out_path + '.d'`` whose ordered concatenation is
     that same file. ``partitions``: 0 forces the single file, >0 forces
     the table. Returns the path written."""
+    import os
+    import shutil
     if partitions is None:
         n = entries.count()
         partitions = 32 if n > AUTO_SITEMAP_THRESHOLD else 0
+    # whichever form is written, remove the sibling form first — a smaller
+    # re-run after a large one (or vice versa) must not leave a stale
+    # artifact for a consumer to silently read
     if partitions > 0:
+        if os.path.isfile(out_path):
+            os.remove(out_path)
         write_sitemap_table(entries, out_path + ".d", partitions)
         return out_path + ".d"
+    if os.path.isdir(out_path + ".d"):
+        shutil.rmtree(out_path + ".d")
     with open(out_path, "w") as f:
         f.write(render_sitemap_json(entries))
     return out_path
@@ -182,8 +191,14 @@ def read_sitemap_json(spark, path: str) -> DataFrame:
     driver-side parse is the faithful equivalent of the reference's
     ioutil.ReadFile + json.Unmarshal; the returned DataFrame is distributed
     for everything downstream."""
-    with open(path) as f:
-        obj = json.load(f)
+    import os
+    if not os.path.exists(path) and os.path.isdir(path + ".d"):
+        # finalize_sitemap auto-switched to the distributed fragment table;
+        # its ordered concatenation IS the single-file JSON
+        obj = json.loads(concat_sitemap_table(path + ".d"))
+    else:
+        with open(path) as f:
+            obj = json.load(f)
     rows = [
         (
             key,

@@ -122,11 +122,15 @@ def fetch_batch(urls: DataFrame, user_agent: str = "walk_spark/0.1",
     live server sees. Rows for one host land in few tasks (part_id/host
     partitioning), so the per-task tracker is the per-host rate limiter.
 
-    ``host_delay_ms`` maps individual hosts to their OWN delay — the
-    robots-declared Crawl-delay (fetchbot honors it over the configured
-    delay when Polite, lib/worker.go:79-90). A host in the map uses its
-    value even when ``delay_ms`` is 0; the tiny dict rides the serialized
-    closure (hosts that declare the directive only)."""
+    ``host_delay_ms`` maps CANONICAL hosts (lowercase, port-less,
+    www-stripped — ``functions.urlnorm.canonical_host``, the key the
+    Crawler's robots table uses) to their OWN delay — the robots-declared
+    Crawl-delay (fetchbot honors it over the configured delay when Polite,
+    lib/worker.go:79-90). A host in the map uses its value even when
+    ``delay_ms`` is 0; the tiny dict rides the serialized closure (hosts
+    that declare the directive only). The fetch-time lookup canonicalizes
+    the url's host the same way, so www-prefixed and port-bearing urls
+    are paced too."""
     passthrough = [c for c in urls.columns]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -137,13 +141,18 @@ def fetch_batch(urls: DataFrame, user_agent: str = "walk_spark/0.1",
 
     def _go(it):
         import time
-        from urllib.parse import urlsplit
+
+        from walk_spark.functions.urlnorm import canonical_host
         last_hit: dict[str, float] = {}
         for pdf in it:
             recs = []
             for u in pdf[url_col]:
                 if track:
-                    host = urlsplit(u).netloc.lower()
+                    # CANONICAL host (lowercase, no port, no www) — the same
+                    # key the Crawler's robots table uses for host_delay_ms;
+                    # a raw netloc lookup silently skipped the declared
+                    # Crawl-delay for www-prefixed or port-bearing urls
+                    host = canonical_host(u)
                     d = overrides.get(host, delay_ms)
                     t_prev = last_hit.get(host)
                     if d > 0 and t_prev is not None:
