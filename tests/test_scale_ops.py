@@ -221,6 +221,50 @@ def test_bloom_incremental_merge(spark):
     assert m == f
 
 
+def test_bloom_delta_merge_matches_two_pass(spark):
+    """merge_bloom_delta(existing, delta) ≡ merge(existing, build(delta))
+    bit-for-bit — the fused one-pass filter maintenance the crawl loop
+    uses must be indistinguishable from the two-pass path."""
+    a = spark.range(0, 1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 4).cast("int").alias("part_id"),
+    )
+    b = spark.range(1000, 2000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        # part 5 has no existing filter row — the fused path must create it
+        (F.col("id") % 6).cast("int").alias("part_id"),
+    )
+    existing = D.build_bloom_partitions(a, 1000, 32768)
+    fused = D.merge_bloom_delta(existing, b, 32768)
+    two_pass = D.merge_bloom_partitions(
+        existing, D.build_bloom_partitions(b, 1000, 32768)
+    )
+    got = {r["part_id"]: r["bf"] for r in fused.collect()}
+    want = {r["part_id"]: r["bf"] for r in two_pass.collect()}
+    assert got == want
+
+
+def test_with_global_seq_bucket_path_matches_range_path(spark):
+    """The monotone-bucket fast path must assign the same sequence values
+    as the range-repartition path (the crawl loop uses the bucket form)."""
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("int").alias("parent_depth"),
+        F.pmod(F.col("id") * 7919, F.lit(5000)).alias("parent_seq"),
+        (F.col("id") % 5).cast("int").alias("ordinal"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+    )
+    cols = ["parent_depth", "parent_seq", "ordinal", "url"]
+    nb, g = 64, 5000 // 64 + 1
+    bucket = (F.col("parent_depth").cast("long") * F.lit(nb)
+              + F.floor(F.col("parent_seq") / F.lit(g)).cast("long"))
+    a = with_global_seq(df, cols, seq_col="seq", start=7)
+    b = with_global_seq(df, cols, seq_col="seq", start=7, bucket=bucket)
+    ka = {(r["url"], r["seq"]) for r in a.collect()}
+    kb = {(r["url"], r["seq"]) for r in b.collect()}
+    assert ka == kb
+    assert sorted(s for (_u, s) in kb) == list(range(7, 7 + 2000))
+
+
 def test_bloom_incremental_crawl_equivalence(spark):
     """use_bloom on/off must produce identical crawls — including with
     recorded redirects (terminals enter the seen set mid-superstep and must

@@ -147,6 +147,39 @@ def build_bloom_partitions(
     )
 
 
+def merge_bloom_delta(existing: DataFrame, delta: DataFrame,
+                      num_bits: int) -> DataFrame:
+    """OR a (part_id, url) delta directly into the standing (part_id, bf)
+    filters — ``build_bloom_partitions`` + ``merge_bloom_partitions`` fused
+    into ONE cogrouped pass: the delta urls are hashed in the same task
+    that ORs them into the partition's bitset, so the per-superstep filter
+    maintenance pays one shuffle of the delta and one Python pass instead
+    of a build shuffle plus a second cogroup (guide §2.4). Bit-identical to
+    the two-pass path (same hashes, same OR)."""
+    nb = _aligned_bits(num_bits)
+
+    def _or(key, bf_pdf: pd.DataFrame, url_pdf: pd.DataFrame) -> pd.DataFrame:
+        if bf_pdf.empty:
+            bits = np.zeros(nb // 8, dtype=np.uint8)
+        else:
+            bits = np.frombuffer(bf_pdf["bf"].iloc[0], dtype=np.uint8).copy()
+            for buf in bf_pdf["bf"].iloc[1:]:
+                bits |= np.frombuffer(buf, dtype=np.uint8)
+        if len(url_pdf):
+            pos = _url_hashes(url_pdf["url"], len(bits) * 8).ravel()
+            np.bitwise_or.at(
+                bits, pos >> np.uint64(3),
+                np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+            )
+        return pd.DataFrame({"part_id": [int(key[0])], "bf": [bits.tobytes()]})
+
+    return (
+        existing.groupBy("part_id")
+        .cogroup(delta.select("part_id", "url").groupBy("part_id"))
+        .applyInPandas(_or, schema="part_id int, bf binary")
+    )
+
+
 def merge_bloom_partitions(existing: DataFrame, added: DataFrame) -> DataFrame:
     """OR two (part_id, bf) filter tables — the incremental-build path: per
     superstep only the NEW frontier rows are hashed (build over the delta),

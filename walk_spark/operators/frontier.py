@@ -86,20 +86,33 @@ def with_global_seq(
     return_count: bool = False,
     materialize: bool = True,
     trace: dict | None = None,
+    bucket: Column | None = None,
 ):
     """Assign a dense global sequence 0..n-1 in ``sort_cols`` order —
     scalable two-phase ranking (NO single-partition window):
 
-      1. range-repartition by the sort key and pin it (one job — the only
+      1. partition the rows monotonically w.r.t. the sort key — either by
+         a caller-supplied deterministic ``bucket`` expression (below) or
+         by ``repartitionByRange`` — and pin the input (one job, the only
          full pass over the data this function pays for),
       2. per-partition ``row_number`` (partition-local sort),
       3. add per-partition offsets (a tiny P-row collect over the pinned
          input, broadcast back as a literal map).
 
+    ``bucket``: a Column that is MONOTONE NON-DECREASING w.r.t. the
+    lexicographic ``sort_cols`` order (key1 < key2 ⇒ bucket1 ≤ bucket2).
+    Offsets are computed from the ACTUAL per-bucket counts, so any
+    monotone bucketing — however unbalanced — yields exactly the global
+    dense rank; balance only affects task sizes. A pure expression needs
+    no range-bounds sampling pass and is stable across re-executions, so
+    the two-pin dance of the range path (see below) collapses to ONE pin
+    + one aggregate: two fewer jobs per call on the crawl loop's hot path
+    (guide §2.4 — remove shuffles outright).
+
     The result depends only on the global sort order, so it is byte-identical
     across parallelism levels (the two-cluster-size determinism requirement,
     SURVEY.md §4 item 4) as long as ``sort_cols`` are a unique key (callers
-    include ``url``).
+    include ``url``) — and identical between the bucket and range paths.
 
     ``materialize=False`` returns the ranked output LAZY (the window runs
     when the caller next materializes state) — callers inside a loop that
@@ -109,25 +122,36 @@ def with_global_seq(
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     cols = [F.col(c) for c in sort_cols]
-    # pin the INPUT first: repartitionByRange samples its input with an
-    # extra pass, so an unpinned upstream pipeline (candidate explode +
-    # dedup + anti-join in the crawl loop) would run twice. Then pin the
-    # RANGED layout too — range bounds come from sampling, and two separate
-    # actions over a lazy range exchange can sample different bounds,
-    # desynchronizing the offset map from the window partitions (observed:
-    # non-dense ranks). The second pin only shuffles the already-pinned
-    # narrow rows.
     import time as _time
     _t = _time.monotonic()
-    d0 = df.localCheckpoint(eager=True)
-    if trace is not None:
-        trace["seq_input_pin"] = round(_time.monotonic() - _t, 3)
-        _t = _time.monotonic()
-    d = d0.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
-    if trace is not None:
-        trace["seq_rank_pin"] = round(_time.monotonic() - _t, 3)
+    if bucket is not None:
+        # deterministic monotone bucketing: one pin, no sampling, and the
+        # window's own hash exchange on _pid does the physical movement
+        # when the caller materializes — no second pin needed because the
+        # row→bucket map is a pure expression (stable across actions)
+        d = d0 = df.withColumn("_pid", bucket.cast("long")).localCheckpoint(
+            eager=True
+        )
+        if trace is not None:
+            trace["seq_input_pin"] = round(_time.monotonic() - _t, 3)
+    else:
+        # pin the INPUT first: repartitionByRange samples its input with an
+        # extra pass, so an unpinned upstream pipeline (candidate explode +
+        # dedup + anti-join in the crawl loop) would run twice. Then pin the
+        # RANGED layout too — range bounds come from sampling, and two
+        # separate actions over a lazy range exchange can sample different
+        # bounds, desynchronizing the offset map from the window partitions
+        # (observed: non-dense ranks). The second pin only shuffles the
+        # already-pinned narrow rows.
+        d0 = df.localCheckpoint(eager=True)
+        if trace is not None:
+            trace["seq_input_pin"] = round(_time.monotonic() - _t, 3)
+            _t = _time.monotonic()
+        d = d0.repartitionByRange(num_partitions, *cols).withColumn(
+            "_pid", F.spark_partition_id()
+        ).localCheckpoint(eager=True)
+        if trace is not None:
+            trace["seq_rank_pin"] = round(_time.monotonic() - _t, 3)
     _t = _time.monotonic()
     counts = {
         r["_pid"]: r["cnt"]
@@ -142,6 +166,8 @@ def with_global_seq(
     total = acc - start
     if not offsets:
         out = d0.withColumn(seq_col, F.lit(start).cast("long"))
+        if bucket is not None:
+            out = out.drop("_pid")
         return (out, 0) if return_count else out
     off_expr = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]

@@ -593,10 +593,20 @@ class Crawler:
             delta = frontier.filter(
                 F.col("superstep") > self._bloom_hwm
             ).select("part_id", "url")
-            self._blooms = self._pin(merge(
-                self._blooms,
-                build(delta, items, cfg.bloom_num_bits),
-            ))
+            if cfg.seen_filter == "bloom":
+                # fused build+merge: one cogrouped pass hashes the delta
+                # urls straight into the standing bitsets (bit-identical;
+                # halves the helper thread's per-superstep filter work).
+                # The cuckoo kind keeps build+merge — its merge re-places
+                # fingerprints, a different kernel.
+                self._blooms = self._pin(D.merge_bloom_delta(
+                    self._blooms, delta, cfg.bloom_num_bits
+                ))
+            else:
+                self._blooms = self._pin(merge(
+                    self._blooms,
+                    build(delta, items, cfg.bloom_num_bits),
+                ))
             self._bloom_hwm = superstep - 1
         return self._blooms
 
@@ -717,7 +727,23 @@ class Crawler:
             # live GETs produce rows host-grouped by the politeness pick —
             # spread them before extraction (no corpus to co-partition with)
             return self._fetch_http(batch).repartition(self._pin_parts)
-        b = batch.withColumn("url_norm", _norm_udf(F.col("url")))
+        # depth > 0 rows entered the frontier as extraction output, i.e.
+        # already through resolve_and_normalize — and normalization is
+        # idempotent (tests/test_urlnorm_properties.py::test_idempotent),
+        # so their url IS its normal form. Only depth-0 rows (seeds,
+        # enqueued verbatim per lib/coordinator.go:174-178) can differ:
+        # run the Python normalize UDF on those alone instead of the whole
+        # batch (guide §4 — don't pay the JVM↔Python boundary for rows
+        # whose answer is the identity). A when() would NOT help here:
+        # Spark extracts Python UDFs into an eval node that runs on every
+        # row regardless of the branch, so the split must be a filter+union.
+        seeds0 = batch.filter(F.col("depth") == 0).withColumn(
+            "url_norm", _norm_udf(F.col("url"))
+        )
+        rest = batch.filter(F.col("depth") > 0).withColumn(
+            "url_norm", F.col("url")
+        )
+        b = seeds0.unionByName(rest)
         chains = self._redirect_chains()
         self._hop_rows = None
         if chains is not None:
@@ -1224,8 +1250,17 @@ class Crawler:
         # are never rewritten again. The old full-frontier anti-join
         # rewrote every url ever seen, every superstep.
         upd_rows = upd.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        # the anti-join's right side is the batch (≤ the tracked queued
+        # count): broadcast it when provably small so the pinned active set
+        # is filtered in place instead of hash-shuffled by url every
+        # superstep (guide §3.1; the count is a crawl-state property, so
+        # the plan choice is deterministic across cluster sizes)
+        upd_urls = upd.select("url")
+        if (self._queued_count is not None
+                and self._queued_count <= 1_000_000):
+            upd_urls = F.broadcast(upd_urls)
         new_queued = self._queued.join(
-            upd.select("url"), "url", "left_anti"
+            upd_urls, "url", "left_anti"
         ).unionByName(upd_rows.filter(F.col("status") == STATUS_QUEUED))
         new_term = self._term_parts + [
             upd_rows.filter(F.col("status") != STATUS_QUEUED)
@@ -1354,6 +1389,20 @@ class Crawler:
             # assignment costs ONE collect job here instead of collect +
             # eager checkpoint (the range-exchange is reused by the pin).
             self._jd(f"ss{k}:seq_assign")
+            # deterministic monotone bucket over the sort-key prefix
+            # (parent_depth, parent_seq): every parent_seq is < next_seq
+            # (the driver-known high-water mark), so with G = ⌈next_seq/NB⌉
+            # the bucket  depth·NB + ⌊seq/G⌋  is monotone w.r.t. the full
+            # lexicographic key — with_global_seq then needs ONE pin and no
+            # range-sampling pass, and the assigned sequence is identical
+            # to the range path by construction (offsets come from actual
+            # per-bucket counts).
+            _nb = max(self._pin_parts, 1) * 8
+            _g = max(1, -(-max(self.next_seq, 1) // _nb))
+            _bucket = (
+                F.col("parent_depth").cast("long") * F.lit(_nb)
+                + F.floor(F.col("parent_seq") / F.lit(_g)).cast("long")
+            )
             fresh, n_new = with_global_seq(
                 fresh,
                 ["parent_depth", "parent_seq", "ordinal", "url"],
@@ -1362,6 +1411,7 @@ class Crawler:
                 return_count=True,
                 materialize=False,
                 trace=trace,
+                bucket=_bucket,
             )
             trace["seq_assign"] = round(time.monotonic() - t0, 3)
             new_rows = fresh.select(
