@@ -794,11 +794,16 @@ class Crawler:
         # content join, structured as INNER + miss-anti instead of LEFT
         # OUTER: an outer join forces sort-merge with the corpus side sorted
         # (html bytes!) every superstep — measured 4x slowdown at high
-        # parallelism from sort spills. Inner join lets Spark hash-build the
-        # small batch side (broadcast or shuffled-hash) and STREAM the
-        # corpus; misses are recovered with a batch-sized anti-join.
+        # parallelism from sort spills. The SHUFFLE_HASH hint on the batch
+        # side makes the strategy explicit (guide §3.1): hash-build the
+        # narrow batch rows, STREAM the corpus — without it the planner's
+        # size estimates (checkpoint-backed batch = unknown) fell back to
+        # sort-merge, which sorted the html-bearing corpus partitions every
+        # superstep. Build side is the politeness-capped batch (narrow
+        # url+ints rows), bounded per partition at any corpus scale.
+        # Misses are recovered with a batch-sized anti-join.
         pages = self.pages.drop("p_redir_norm")
-        hits = b.join(
+        hits = b.hint("shuffle_hash").join(
             pages, b.final_url_norm == pages.p_url_norm, "inner"
         )
         misses = b.join(
@@ -1001,6 +1006,12 @@ class Crawler:
             self._queued_count = self.frontier.filter(
                 F.col("status") == STATUS_QUEUED
             ).count()
+        # NOTE (measured, round 6): running the loop with AQE disabled was
+        # tried to cut the ~15 query-stage jobs/superstep AQE submits — and
+        # LOST a same-session A/B 3/3 (17-28 s vs 12-14 s at bench shape):
+        # AQE's runtime coalescing of the 64-partition exchanges and its
+        # runtime broadcast conversions save more than its per-stage job
+        # submissions cost, even at 20k rows. Do not re-try.
         stop = False
         try:
             while not stop and self.superstep < self.cfg.max_supersteps:
