@@ -27,7 +27,7 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from walk_spark.functions.text import fingerprint_md5, shingles, words
 
@@ -194,19 +194,48 @@ def _minhash_params(k: int, seed: int = 42):
     return a, b
 
 
+def _band_hash_u64(sigs: "np.ndarray", bands: int) -> "np.ndarray":
+    """(docs, k) int64 signature matrix -> (docs, bands) int64 band keys.
+
+    Deterministic 64-bit polynomial mix + avalanche over each band's rows,
+    fully vectorized. ANY consistent hash yields the same candidate pairs:
+    equal band slices always collide (that is what LSH banding relies on),
+    and unequal slices colliding (~2^-64) only adds candidates that the
+    estimate/exact filters drop — so the pair OUTPUT is hash-agnostic.
+    Computed here instead of as a JVM expression because the unrolled
+    bands×rows GetArrayItem/xxhash64 tree (128 nodes at 32×4) was a
+    measurable per-query codegen cost."""
+    docs, k = sigs.shape
+    rows = k // bands
+    m = sigs.reshape(docs, bands, rows).astype(np.uint64)
+    h = np.full((docs, bands), np.uint64(0x9E3779B97F4A7C15))
+    mul = np.uint64(0xC2B2AE3D27D4EB4F)
+    for j in range(rows):
+        h = (h ^ m[:, :, j]) * mul
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return h.view(np.int64)
+
+
 def minhash_signatures(docs: DataFrame, k: int = 128, shingle_n: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text",
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       emit_bands: int = 0) -> DataFrame:
     """(doc_id, sig array<long>[k]) — one Arrow UDF pass.
 
     Shingle hashing uses a splitmix-style 64-bit mix of Python's stable
     md5-based digest per shingle, then k universal-hash rows min-reduced in
     one numpy matmul-shaped op. ~O(shingles·k) vectorized per batch.
+
+    ``emit_bands`` > 0 additionally returns a ``bands`` array<long> column
+    of that many per-band keys (``_band_hash_u64``), so the LSH banding
+    needs no JVM-side hash expression over the signature array.
     """
     a, b = _minhash_params(k, seed)
 
-    def _sig(texts: pd.Series) -> pd.Series:
+    def _sig_arrays(texts: pd.Series) -> list:
         # per-token digests memoized across the batch (web-text vocab repeats
         # heavily); shingle hashes = vectorized polynomial combination of
         # consecutive token hashes — no per-shingle string building/hashing.
@@ -273,7 +302,32 @@ def minhash_signatures(docs: DataFrame, k: int = 128, shingle_n: int = 3,
             for j in range(end - pos):
                 out[hv_docs[pos + j]] = sigs[j]
             pos = end
-        return pd.Series(out)
+        return out
+
+    if emit_bands:
+        def _sig_bands(texts: pd.Series) -> pd.DataFrame:
+            out = _sig_arrays(texts)
+            mat = (np.stack(out) if out
+                   else np.zeros((0, k), dtype=np.int64))
+            keys = _band_hash_u64(mat, emit_bands)
+            return pd.DataFrame({"sig": out, "bands": list(keys)})
+
+        schema = StructType([
+            StructField("sig", ArrayType(LongType())),
+            StructField("bands", ArrayType(LongType())),
+        ])
+        udf = F.pandas_udf(_sig_bands, returnType=schema)
+        return _spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            udf(F.col(text_col)).alias("_sb"),
+        ).select(
+            "doc_id",
+            F.col("_sb.sig").alias("sig"),
+            F.col("_sb.bands").alias("bands"),
+        )
+
+    def _sig(texts: pd.Series) -> pd.Series:
+        return pd.Series(_sig_arrays(texts))
 
     sig_udf = F.pandas_udf(_sig, returnType=ArrayType(LongType()))
     return _spread(docs).select(
@@ -299,9 +353,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 128,
     counts (costs one extra aggregation job; the signature pass is pinned so
     the UDF doesn't run twice).
     """
-    rows = k // bands
     sigs = minhash_signatures(docs, k=k, shingle_n=shingle_n,
-                              id_col=id_col, text_col=text_col, seed=seed)
+                              id_col=id_col, text_col=text_col, seed=seed,
+                              emit_bands=bands)
     # the signature pass is the expensive Python stage and is now consumed
     # twice (band keys + the estimate attach below): pin it so the UDF runs
     # exactly once regardless of plan shape
@@ -309,21 +363,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 128,
     # band keys only — the k-long signature array (~1 KB/row) stays OUT of
     # the banded explode and the (band, bucket) self-join shuffles (guide
     # §2.3 "project before the exchange"); signatures are re-attached to the
-    # few surviving candidate pairs instead of riding every bucket row
-    # band bucket = xxhash64 over the band's signature rows DIRECTLY (a
-    # fixed unrolled arg list per band): the old expression built a
-    # comma-joined string per band per row through interpreted
-    # slice/transform higher-order functions — ~bands× string allocations
-    # per doc, re-evaluated by every consumer branch. Equal band slices
-    # hash equal under either scheme, so the candidate semantics are
-    # unchanged (collisions stay ~2⁻⁶⁴ and are est-filtered anyway).
-    band_keys = [
-        F.xxhash64(*[F.col("sig")[i * rows + j] for j in range(rows)])
-        for i in range(bands)
-    ]
+    # few surviving candidate pairs instead of riding every bucket row.
+    # The keys come precomputed from the signature UDF (emit_bands): equal
+    # band slices collide under any consistent hash, so the candidate
+    # semantics are unchanged (see _band_hash_u64), and the bands×rows
+    # unrolled JVM hash tree this replaces was a per-query codegen cost.
     banded = sigs.select(
         "doc_id",
-        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
+        F.posexplode(F.col("bands")).alias("band", "bucket"),
     )
     # ONE exchange builds the buckets: window count + conditional
     # collect_list (buffer bounded at max_bucket_size — same pattern as
