@@ -632,20 +632,55 @@ class Crawler:
         )
 
     def _bloom_job(self, frontier: DataFrame, superstep: int):
-        """Helper-thread bloom maintenance: merge+pin the filters, then —
+        """Helper-thread bloom maintenance: merge the filters, then —
         when the broadcast probe path applies and nothing superstep-local
         can still change the filters (no recorded-redirect terminals) —
         ALSO collect+broadcast them. The collect+broadcast was measured as
         seconds of driver-serial time per superstep (it never shrinks with
         executors); here it overlaps the fetch join + extraction, so the
-        main thread pays only a future .result()."""
-        blooms = self._update_blooms_pinned(frontier, superstep)
-        bc = None
-        if (not self.cfg.record_redirects
-                and self._filters_bytes() <= D.BLOOM_BROADCAST_MAX_BYTES):
-            self._jd(f"ss{superstep}:bloom_bcast")
-            bc = D.prepare_bloom_broadcast(blooms, self._bloom_registry)
-        return blooms, bc
+        main thread pays only a future .result().
+
+        On the broadcast path the driver copy IS the product, so the merge
+        plan is collected DIRECTLY — one job instead of pin-then-collect —
+        and the standing ``_blooms`` table is rebuilt from the collected
+        bytes (a local-relation DataFrame; by the path's own config bound
+        the filters are ≤ BLOOM_BROADCAST_MAX_BYTES, the same budget the
+        broadcast itself pays). The cogroup path keeps the pinned
+        executor-resident table (GB-scale filters never touch the driver)."""
+        cfg = self.cfg
+        use_bc = (not cfg.record_redirects
+                  and self._filters_bytes() <= D.BLOOM_BROADCAST_MAX_BYTES)
+        if not use_bc:
+            return self._update_blooms_pinned(frontier, superstep), None
+        self._jd(f"ss{superstep}:bloom_merge")
+        items = cfg.bloom_expected_items // cfg.seen_partitions
+        build, merge = self._filter_ops()
+        plan = None
+        if self._blooms is None:
+            plan = build(frontier.select("part_id", "url"), items,
+                         cfg.bloom_num_bits)
+        elif self._bloom_hwm < superstep - 1:
+            delta = frontier.filter(
+                F.col("superstep") > self._bloom_hwm
+            ).select("part_id", "url")
+            if cfg.seen_filter == "bloom":
+                plan = D.merge_bloom_delta(self._blooms, delta,
+                                           cfg.bloom_num_bits)
+            else:
+                plan = merge(self._blooms,
+                             build(delta, items, cfg.bloom_num_bits))
+        if plan is not None:
+            rows = [(int(r["part_id"]), bytes(r["bf"]))
+                    for r in plan.collect()]
+            self._blooms = self.spark.createDataFrame(
+                rows, "part_id int, bf binary")
+            self._bloom_hwm = superstep - 1
+            bc = self.spark.sparkContext.broadcast(dict(rows))
+            self._bloom_registry.append(bc)
+            return self._blooms, bc
+        self._jd(f"ss{superstep}:bloom_bcast")
+        bc = D.prepare_bloom_broadcast(self._blooms, self._bloom_registry)
+        return self._blooms, bc
 
     def _update_blooms(
         self, redirect_terminals: DataFrame | None,
