@@ -96,6 +96,40 @@ def test_two_page_retry_and_dedup(spark):
     assert errs.count() == 4
 
 
+def test_requeued_raw_seed_still_normalized(spark):
+    """A seed that needs normalization AND fails (500 -> requeue) must be
+    normalized on EVERY attempt, not just the first: the fetch path's
+    depth-0 tracking may skip the normalize UDF only for supersteps whose
+    batch provably contains no depth-0 row — a requeued seed keeps the
+    queue's depth-0 count nonzero, so each retry must still hit the corpus
+    row (status 500), never degrade to a 'not found' miss."""
+    pages = spark.createDataFrame(
+        [
+            ("http://mixed.test", b"<html><body>boom</body></html>", 500),
+            ("http://mixed.test/ok", b"<html><body>fine</body></html>", 200),
+        ],
+        "url string, html binary, status int",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2000-01-01 00:00:00")))
+    cfg = CrawlConfig(
+        # raw seed spelling normalizes to http://mixed.test
+        seeds=["HTTPS://WWW.MiXed.test/", "http://mixed.test/ok"],
+        domains=["http://mixed.test"],
+        max_attempts=2,
+    )
+    r = crawl(spark, pages, cfg)
+    seed_rows = r.resources.filter(
+        F.col("url") == "HTTPS://WWW.MiXed.test/"
+    ).collect()
+    # 1 + max_attempts fetches, every one matched the corpus row (500),
+    # none fell through to the miss branch
+    assert len(seed_rows) == 3
+    assert all(x["status"] == 500 for x in seed_rows)
+    assert all(x["error"] is None for x in seed_rows)
+    by_url = {x["url"]: x for x in r.frontier.collect()}
+    assert by_url["HTTPS://WWW.MiXed.test/"]["status"] == "failed"
+    assert by_url["http://mixed.test/ok"]["status"] == "done"
+
+
 def test_ignore_patterns(spark):
     cfg = CrawlConfig(
         seeds=["http://self.test"],

@@ -253,6 +253,14 @@ class Crawler:
         self._res_parts: list[DataFrame] = []
         self._order_parts: list[DataFrame] = []
         self._queued_count: int | None = None
+        #: exact count of QUEUED depth-0 rows (seeds are the only urls the
+        #: fetch path must still normalize — see _fetch). Maintained with
+        #: ZERO extra jobs: seeded from the driver-side seed list, updated
+        #: from the per-superstep metrics aggregate (picked vs requeued
+        #: depth-0), adjusted by add_seeds*/forget_urls, re-derived in the
+        #: same one-time aggregate run() pays on resume. None = unknown →
+        #: _fetch keeps the safe normalize branch.
+        self._d0_queued: int | None = None
         #: standing per-partition bloom filters over the seen set (D2 scale
         #: path): built ONCE from the seed frontier, then merged with each
         #: superstep's delta (cost ∝ new urls, not total seen — at 10^10
@@ -772,13 +780,19 @@ class Crawler:
         # whose answer is the identity). A when() would NOT help here:
         # Spark extracts Python UDFs into an eval node that runs on every
         # row regardless of the branch, so the split must be a filter+union.
-        seeds0 = batch.filter(F.col("depth") == 0).withColumn(
-            "url_norm", _norm_udf(F.col("url"))
-        )
-        rest = batch.filter(F.col("depth") > 0).withColumn(
-            "url_norm", F.col("url")
-        )
-        b = seeds0.unionByName(rest)
+        # When the tracked depth-0 queued count says NO seed-depth row can
+        # be in this batch (the common steady state after superstep 1),
+        # the plan carries no Python eval node and no union at all.
+        if self._d0_queued == 0:
+            b = batch.withColumn("url_norm", F.col("url"))
+        else:
+            seeds0 = batch.filter(F.col("depth") == 0).withColumn(
+                "url_norm", _norm_udf(F.col("url"))
+            )
+            rest = batch.filter(F.col("depth") > 0).withColumn(
+                "url_norm", F.col("url")
+            )
+            b = seeds0.unionByName(rest)
         chains = self._redirect_chains()
         self._hop_rows = None
         if chains is not None:
@@ -901,6 +915,7 @@ class Crawler:
             self.resources = self.spark.createDataFrame([], RESOURCES_SCHEMA)
             self.order = self.spark.createDataFrame([], ORDER_SCHEMA)
             self._queued_count = len(self.cfg.all_seeds())
+            self._d0_queued = self._queued_count  # all seeds are depth 0
         elif self._queued is None:
             # state arrived as one snapshot (resume): derive the split
             # lazily — both filters read the same parquet/pin
@@ -940,6 +955,8 @@ class Crawler:
             self._rebuild_frontier_view()
             if self._queued_count is not None:
                 self._queued_count += n
+            if self._d0_queued is not None:
+                self._d0_queued += n  # late seeds enqueue at depth 0
 
     def add_seeds_df(self, seeds: DataFrame, url_col: str = "url") -> int:
         """Enqueue a DataFrame of seed urls mid-crawl WITHOUT materializing
@@ -992,6 +1009,8 @@ class Crawler:
         self._rebuild_frontier_view()
         if self._queued_count is not None:
             self._queued_count += n
+        if self._d0_queued is not None:
+            self._d0_queued += n  # stream seeds enqueue at depth 0
         return n
 
     def forget_urls(self, urls: list[str]) -> int:
@@ -1014,7 +1033,15 @@ class Crawler:
         n_total = self.frontier.filter(hit).count()
         if n_total == 0:
             return 0
-        n_q = self._queued.filter(hit).count()
+        qrow = self._queued.filter(hit).agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum((F.col("depth") == 0).cast("long")), F.lit(0)
+            ).alias("n0"),
+        ).first()
+        n_q = qrow["n"]
+        if self._d0_queued is not None:
+            self._d0_queued -= int(qrow["n0"])
         if self._blooms is not None:
             if self.cfg.seen_filter == "cuckoo":
                 from walk_spark.operators import cuckoo as CK
@@ -1038,9 +1065,16 @@ class Crawler:
         collect already pays for — exact, zero extra jobs."""
         self._ensure_state()
         if self._queued_count is None:  # resume path: one count, once
-            self._queued_count = self.frontier.filter(
+            qrow = self.frontier.filter(
                 F.col("status") == STATUS_QUEUED
-            ).count()
+            ).agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum((F.col("depth") == 0).cast("long")), F.lit(0)
+                ).alias("n0"),
+            ).first()
+            self._queued_count = qrow["n"]
+            self._d0_queued = int(qrow["n0"])
         # NOTE (measured, round 6): running the loop with AQE disabled was
         # tried to cut the ~15 query-stage jobs/superstep AQE submits — and
         # LOST a same-session A/B 3/3 (17-28 s vs 12-14 s at bench shape):
@@ -1242,6 +1276,10 @@ class Crawler:
             F.count("*").alias("n"),
             F.sum(backoff_flag.cast("int")).alias("nb"),
             F.max(stop_flag).alias("stop"),
+            # depth-0 rows per outcome: keeps the _d0_queued tracker exact
+            # (picked depth-0 leave the queue; requeued ones re-enter)
+            # with zero extra jobs
+            F.sum((F.col("depth") == 0).cast("int")).alias("n0"),
         )
 
         def _stat_job():
@@ -1493,6 +1531,13 @@ class Crawler:
         counts = {r["status"]: r["n"] for r in stat_rows}
         n_backoff = sum(r["nb"] or 0 for r in stat_rows)
         hit_stop = any(r["stop"] for r in stat_rows)
+        if self._d0_queued is not None:
+            d0_picked = sum(r["n0"] or 0 for r in stat_rows)
+            d0_requeued = sum(
+                r["n0"] or 0 for r in stat_rows
+                if r["status"] == STATUS_QUEUED
+            )
+            self._d0_queued += d0_requeued - d0_picked
         n_done = counts.get(STATUS_DONE, 0) + counts.get(STATUS_REDIRECTED, 0)
         self.total_done += n_done
 
