@@ -261,6 +261,19 @@ class Crawler:
         #: same one-time aggregate run() pays on resume. None = unknown →
         #: _fetch keeps the safe normalize branch.
         self._d0_queued: int | None = None
+        #: raw seed -> normal form, for driver-known seeds whose normal
+        #: form DIFFERS from the raw string (well-formed seeds are fixed
+        #: points and are omitted). Lets _fetch attach url_norm with a
+        #: tiny broadcast map instead of a Python UDF pass: a non-fixed-
+        #: point key can never collide with a depth>0 url (those are
+        #: normalizer outputs, i.e. fixed points), so coalesce(map[url],
+        #: url) ≡ normalize(url) for every batch row — as long as every
+        #: queued depth-0 row came from a driver-side list
+        #: (``_streamed_d0`` guards the add_seeds_df / resumed-state
+        #: cases, which fall back to the UDF branch).
+        self._seed_norms: dict[str, str] = {}
+        self._seed_norm_df: DataFrame | None = None
+        self._streamed_d0 = False
         #: standing per-partition bloom filters over the seen set (D2 scale
         #: path): built ONCE from the seed frontier, then merged with each
         #: superstep's delta (cost ∝ new urls, not total seen — at 10^10
@@ -346,6 +359,15 @@ class Crawler:
             )
         return sel
 
+    def _note_seed_norms(self, seeds: list[str]) -> None:
+        """Record driver-side seeds' normal forms (diffs only) so _fetch
+        can use the broadcast-map path; costs ~µs per seed, once."""
+        for u in seeds:
+            n = normalize_url(u)
+            if n and n != u:
+                self._seed_norms[u] = n
+        self._seed_norm_df = None  # rebuilt lazily on next use
+
     def _seed_frontier(self) -> DataFrame:
         rows = [
             (
@@ -356,6 +378,7 @@ class Crawler:
             )
             for i, u in enumerate(self.cfg.all_seeds())
         ]
+        self._note_seed_norms([r[0] for r in rows])
         self.next_seq = len(rows)
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
         return df.withColumn(
@@ -782,9 +805,33 @@ class Crawler:
         # row regardless of the branch, so the split must be a filter+union.
         # When the tracked depth-0 queued count says NO seed-depth row can
         # be in this batch (the common steady state after superstep 1),
-        # the plan carries no Python eval node and no union at all.
+        # the plan carries no Python eval node and no union at all. While
+        # driver-known seeds ARE still queued, their normal forms were
+        # computed on the driver at enqueue time: a broadcast of the
+        # (raw, norm) DIFFS — usually empty, because well-formed seeds are
+        # normalization fixed points — replaces the UDF pass entirely (a
+        # non-fixed-point key cannot equal any depth>0 url, so the
+        # coalesce is exact). Only depth-0 rows of unknown provenance
+        # (add_seeds_df streams, resumed snapshots) keep the Python
+        # filter+union branch; a when() would not help there — Spark
+        # extracts Python UDFs into an eval node that runs on every row.
         if self._d0_queued == 0:
             b = batch.withColumn("url_norm", F.col("url"))
+        elif not self._streamed_d0:
+            if not self._seed_norms:
+                b = batch.withColumn("url_norm", F.col("url"))
+            else:
+                if self._seed_norm_df is None:
+                    self._seed_norm_df = self.spark.createDataFrame(
+                        list(self._seed_norms.items()),
+                        "url string, _seed_norm string",
+                    )
+                b = batch.join(
+                    F.broadcast(self._seed_norm_df), "url", "left"
+                ).withColumn(
+                    "url_norm",
+                    F.coalesce(F.col("_seed_norm"), F.col("url")),
+                ).drop("_seed_norm")
         else:
             seeds0 = batch.filter(F.col("depth") == 0).withColumn(
                 "url_norm", _norm_udf(F.col("url"))
@@ -918,7 +965,11 @@ class Crawler:
             self._d0_queued = self._queued_count  # all seeds are depth 0
         elif self._queued is None:
             # state arrived as one snapshot (resume): derive the split
-            # lazily — both filters read the same parquet/pin
+            # lazily — both filters read the same parquet/pin. Queued
+            # depth-0 rows of unknown provenance (the original run may
+            # have add_seeds'ed urls not in cfg) → normalize via the UDF
+            # branch, never the driver-side seed map.
+            self._streamed_d0 = True
             self._queued = self.frontier.filter(
                 F.col("status") == STATUS_QUEUED
             )
@@ -944,6 +995,7 @@ class Crawler:
         ]
         if not rows:
             return
+        self._note_seed_norms(seeds)  # driver-known: keep the map path
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA).withColumn(
             "part_id", self._part_id_col(F.col("host"), F.col("url"))
         )
@@ -1011,6 +1063,9 @@ class Crawler:
             self._queued_count += n
         if self._d0_queued is not None:
             self._d0_queued += n  # stream seeds enqueue at depth 0
+        # stream urls never pass through the driver, so their normal
+        # forms are unknown — depth-0 batches must use the UDF branch
+        self._streamed_d0 = True
         return n
 
     def forget_urls(self, urls: list[str]) -> int:
@@ -1699,6 +1754,9 @@ class Crawler:
         )
         c._queued = c.frontier.filter(F.col("status") == STATUS_QUEUED)
         c._term_parts = [c.frontier.filter(F.col("status") != STATUS_QUEUED)]
+        # queued depth-0 rows may include urls the original run
+        # add_seeds'ed (not in cfg) — normalize them via the UDF branch
+        c._streamed_d0 = True
         backoff = last.get("backoff_hosts") or []
         if backoff:
             c._backoff_hosts = spark.createDataFrame(
